@@ -1,0 +1,114 @@
+"""Simulation constants and static configuration.
+
+Mirrors the reference's tuning constants (reference: include/solver2d/constants.h:6-22)
+and the testbed defaults (reference: samples/settings.h:16-24). The SimConfig is a
+hashable frozen dataclass used as a *static* argument to the jitted step function,
+so solver type / iteration counts / capacities specialize the compiled kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+# --- Physical/tuning constants (reference: include/solver2d/constants.h) ---
+PI = 3.14159265359
+LINEAR_SLOP = 0.005
+SPECULATIVE_DISTANCE = 4.0 * LINEAR_SLOP
+AABB_MARGIN = 0.1
+ANGULAR_SLOP = 2.0 / 180.0 * PI
+MAX_POLYGON_VERTICES = 8
+MAX_LINEAR_CORRECTION = 0.2
+MAX_ANGULAR_CORRECTION = 8.0 / 180.0 * PI
+BAUMGARTE = 0.2
+HUGE = 100000.0
+MAX_BAUMGARTE_VELOCITY = 4.0
+CONTACT_HERTZ = 30.0
+JOINT_HERTZ = 60.0
+
+# Soft-constraint damping ratio (reference: src/solve_common.c:266)
+CONTACT_ZETA = 10.0
+
+
+class SolverType(enum.IntEnum):
+    """The ten solver algorithms (reference: include/solver2d/types.h:75-88)."""
+
+    JACOBI = 0
+    PGS = 1
+    PGS_NGS = 2
+    PGS_NGS_BLOCK = 3  # reference default (types.h:95-97)
+    PGS_SOFT = 4
+    SOFT_STEP = 5
+    TGS_STICKY = 6
+    TGS_SOFT = 7
+    TGS_NGS = 8
+    XPBD = 9
+
+
+# Solvers that sub-step: h = dt / iterations (reference: src/world.c:186-199)
+SUBSTEPPING_SOLVERS = frozenset(
+    {
+        SolverType.XPBD,
+        SolverType.TGS_SOFT,
+        SolverType.TGS_STICKY,
+        SolverType.TGS_NGS,
+        SolverType.SOFT_STEP,
+    }
+)
+
+
+class BodyType(enum.IntEnum):
+    """reference: include/solver2d/types.h:99-105"""
+
+    STATIC = 0
+    KINEMATIC = 1
+    DYNAMIC = 2
+
+
+class ShapeType(enum.IntEnum):
+    """Original user-facing shape type. Internally every shape is stored as a
+    rounded convex polygon (circle = 1 vertex, capsule/segment = 2 vertices),
+    the same funneling trick the reference uses for capsules/segments
+    (reference: src/manifold.c:224-245)."""
+
+    CIRCLE = 0
+    CAPSULE = 1
+    POLYGON = 2
+    SEGMENT = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (compile-time) simulation configuration.
+
+    Defaults mirror the testbed (reference: samples/settings.h:16-24): 4 primary
+    iterations, 2 extra (relax/position) iterations, warm starting on.
+    """
+
+    solver: SolverType = SolverType.PGS_NGS_BLOCK
+    iterations: int = 4          # velocity iterations, or substeps for substepping solvers
+    extra_iterations: int = 2    # relax / position iterations
+    warm_start: bool = True
+
+    # Capacities (static shapes for XLA). Scene builders size these.
+    max_bodies: int = 128
+    max_shapes: int = 128
+    max_contacts: int = 512
+    max_joints: int = 16
+
+    # Broadphase sweep-and-prune window: each shape is tested against this many
+    # successors in sorted AABB order. Overflow is reported in diagnostics.
+    sap_window: int = 16
+
+    # Graph coloring: number of independent constraint batches for the
+    # Gauss-Seidel sweeps. Contacts left uncolored after MAX_COLORS-1 rounds
+    # land in the final bucket which may have conflicts (solved Jacobi-like);
+    # the overflow count is reported in diagnostics.
+    max_colors: int = 16
+    joint_max_colors: int = 8
+
+    def substepping(self) -> bool:
+        return self.solver in SUBSTEPPING_SOLVERS
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

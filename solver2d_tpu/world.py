@@ -1,0 +1,429 @@
+"""Host-side scene construction API.
+
+Mirrors the public C API surface (reference: include/solver2d/solver2d.h:22-70):
+world/body/shape/joint creation with the same defs and defaults
+(reference: include/solver2d/types.h:90-156). Construction happens eagerly in
+numpy; `freeze()` packs everything into the fixed-capacity SoA `State` pytree
+and a hashable `SimConfig`, after which stepping is a pure jitted function.
+
+Mass properties are accumulated per body exactly like s2ComputeMass
+(reference: src/body.c:152-218): sum shape masses, parallel-axis shift of
+inertia to the center of mass, and center-of-mass velocity fixup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .config import (
+    AABB_MARGIN,
+    SPECULATIVE_DISTANCE,
+    BodyType,
+    SimConfig,
+    SolverType,
+)
+from .ops import geometry
+from .state import Bodies, Contacts, Diagnostics, Joints, Shapes, State
+
+
+@dataclasses.dataclass
+class BodyDef:
+    """reference: include/solver2d/types.h:107-130"""
+
+    type: BodyType = BodyType.STATIC
+    position: tuple = (0.0, 0.0)
+    angle: float = 0.0
+    linear_velocity: tuple = (0.0, 0.0)
+    angular_velocity: float = 0.0
+    linear_damping: float = 0.0
+    angular_damping: float = 0.0
+    gravity_scale: float = 1.0
+
+
+@dataclasses.dataclass
+class ShapeDef:
+    """reference: include/solver2d/types.h:141-156"""
+
+    friction: float = 0.6
+    restitution: float = 0.0
+    density: float = 1.0
+    filter_category: int = 0x1
+    filter_mask: int = 0xFFFFFFFF
+    filter_group: int = 0
+
+
+@dataclasses.dataclass
+class _Body:
+    def_: BodyDef
+    shapes: list = dataclasses.field(default_factory=list)  # indices into world.shapes
+    # mass properties (computed incrementally)
+    mass: float = 0.0
+    inertia: float = 0.0
+    local_center: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(2))
+    linear_velocity: np.ndarray = None  # updated by COM shifts
+    alive: bool = True
+
+    def __post_init__(self):
+        self.linear_velocity = np.asarray(self.def_.linear_velocity, np.float64).copy()
+
+
+@dataclasses.dataclass
+class _Shape:
+    body: int
+    geom: geometry.ShapeGeom
+    def_: ShapeDef
+    alive: bool = True
+
+
+@dataclasses.dataclass
+class _Joint:
+    type: int  # 0 revolute, 1 mouse
+    body_a: int
+    body_b: int
+    local_anchor_a: np.ndarray
+    local_anchor_b: np.ndarray
+    collide_connected: bool = False
+    reference_angle: float = 0.0
+    lower_angle: float = 0.0
+    upper_angle: float = 0.0
+    enable_limit: bool = False
+    enable_motor: bool = False
+    motor_speed: float = 0.0
+    max_motor_torque: float = 0.0
+    target: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(2))
+    hertz: float = 0.0
+    damping_ratio: float = 0.0
+    alive: bool = True
+
+
+def _rot_of(angle):
+    return np.array([np.sin(angle), np.cos(angle)], np.float64)
+
+
+def _rotate(rot, v):
+    s, c = rot
+    return np.array([c * v[0] - s * v[1], s * v[0] + c * v[1]])
+
+
+class World:
+    """Scene builder. One instance per scene; freeze() to simulate."""
+
+    def __init__(self, solver: SolverType = SolverType.PGS_NGS_BLOCK, gravity=(0.0, -10.0)):
+        self.solver = solver
+        self.gravity = np.asarray(gravity, np.float64)
+        self.bodies: list[_Body] = []
+        self.shapes: list[_Shape] = []
+        self.joints: list[_Joint] = []
+
+    # --- bodies (reference: src/body.c:17-150) ---
+
+    def create_body(self, def_: Optional[BodyDef] = None, **kw) -> int:
+        if def_ is None:
+            def_ = BodyDef(**kw)
+        elif kw:
+            def_ = dataclasses.replace(def_, **kw)
+        self.bodies.append(_Body(def_))
+        return len(self.bodies) - 1
+
+    # --- shapes (reference: src/body.c:220-314) ---
+
+    def create_shape(self, body: int, geom: geometry.ShapeGeom, def_: Optional[ShapeDef] = None, **kw) -> int:
+        if def_ is None:
+            def_ = ShapeDef(**kw)
+        elif kw:
+            def_ = dataclasses.replace(def_, **kw)
+        self.shapes.append(_Shape(body, geom, def_))
+        idx = len(self.shapes) - 1
+        b = self.bodies[body]
+        b.shapes.append(idx)
+        if def_.density > 0.0:
+            self._compute_mass(body)
+        return idx
+
+    def create_circle_shape(self, body: int, center, radius: float, **kw) -> int:
+        return self.create_shape(body, geometry.circle(center, radius), **kw)
+
+    def create_capsule_shape(self, body: int, p1, p2, radius: float, **kw) -> int:
+        return self.create_shape(body, geometry.capsule(p1, p2, radius), **kw)
+
+    def create_polygon_shape(self, body: int, geom_or_points, **kw) -> int:
+        geom = geom_or_points
+        if not isinstance(geom, geometry.ShapeGeom):
+            geom = geometry.polygon(geom_or_points)
+        return self.create_shape(body, geom, **kw)
+
+    def create_segment_shape(self, body: int, p1, p2, **kw) -> int:
+        return self.create_shape(body, geometry.segment(p1, p2), **kw)
+
+    def _compute_mass(self, body_idx: int):
+        """reference: src/body.c:152-218"""
+        b = self.bodies[body_idx]
+        b.mass = 0.0
+        b.inertia = 0.0
+        old_center_offset = b.local_center.copy()
+        b.local_center = np.zeros(2)
+        if b.def_.type != BodyType.DYNAMIC:
+            return
+        local_center = np.zeros(2)
+        for si in b.shapes:
+            s = self.shapes[si]
+            if not s.alive or s.def_.density == 0.0:
+                continue
+            md = geometry.compute_mass(s.geom, s.def_.density)
+            b.mass += md.mass
+            local_center += md.mass * md.center
+            b.inertia += md.inertia
+        if b.mass > 0.0:
+            local_center /= b.mass
+        if b.inertia > 0.0:
+            b.inertia -= b.mass * (local_center @ local_center)
+        else:
+            b.inertia = 0.0
+        b.local_center = local_center
+        # COM velocity fixup (body.c:215-217)
+        rot = _rot_of(b.def_.angle)
+        delta_center = _rotate(rot, local_center - old_center_offset)
+        w = b.def_.angular_velocity
+        b.linear_velocity = b.linear_velocity + w * np.array([-delta_center[1], delta_center[0]])
+
+    # --- joints (reference: src/joint.c:154-223) ---
+
+    def create_revolute_joint(
+        self,
+        body_a: int,
+        body_b: int,
+        local_anchor_a=(0.0, 0.0),
+        local_anchor_b=(0.0, 0.0),
+        reference_angle: float = 0.0,
+        lower_angle: float = 0.0,
+        upper_angle: float = 0.0,
+        enable_limit: bool = False,
+        enable_motor: bool = False,
+        motor_speed: float = 0.0,
+        max_motor_torque: float = 0.0,
+        collide_connected: bool = False,
+    ) -> int:
+        self.joints.append(
+            _Joint(
+                0, body_a, body_b,
+                np.asarray(local_anchor_a, np.float64), np.asarray(local_anchor_b, np.float64),
+                collide_connected, reference_angle, lower_angle, upper_angle,
+                enable_limit, enable_motor, motor_speed, max_motor_torque,
+            )
+        )
+        return len(self.joints) - 1
+
+    def create_mouse_joint(self, body_a: int, body_b: int, target, hertz: float, damping_ratio: float) -> int:
+        """bodyB is dragged toward target (reference: src/joint.c:154-179)."""
+        target = np.asarray(target, np.float64)
+        bA, bB = self.bodies[body_a], self.bodies[body_b]
+        la = _inv_transform(bA, target)
+        lb = _inv_transform(bB, target)
+        j = _Joint(1, body_a, body_b, la, lb, collide_connected=True)
+        j.target = target
+        j.hertz = hertz
+        j.damping_ratio = damping_ratio
+        self.joints.append(j)
+        return len(self.joints) - 1
+
+    # --- freeze ---
+
+    def default_config(self, **overrides) -> SimConfig:
+        def _round(n, m):
+            return max(m, ((n + m - 1) // m) * m)
+
+        nb = _round(len(self.bodies) + 1, 8)
+        ns = _round(len(self.shapes) + 1, 8)
+        nj = _round(len(self.joints) + 1, 8)
+        # generous contact budget: ~8 per dynamic shape is far above observed
+        # max contact density for convex shapes
+        ndyn = sum(1 for s in self.shapes if self.bodies[s.body].def_.type == BodyType.DYNAMIC)
+        nc = _round(max(64, 8 * max(ndyn, 1)), 64)
+        cfg = SimConfig(solver=self.solver, max_bodies=nb, max_shapes=ns, max_contacts=nc, max_joints=nj)
+        return cfg.replace(**overrides) if overrides else cfg
+
+    def freeze(self, config: Optional[SimConfig] = None, **overrides) -> tuple[State, SimConfig]:
+        import jax.numpy as jnp
+
+        if config is None:
+            config = self.default_config(**overrides)
+        assert config.max_bodies >= len(self.bodies)
+        assert config.max_shapes >= len(self.shapes)
+        assert config.max_joints >= len(self.joints)
+
+        state = State.zeros(config)
+        nb, ns, nj = len(self.bodies), len(self.shapes), len(self.joints)
+
+        # Bodies
+        B = {k: np.array(v) for k, v in _soa_zeros_bodies(config.max_bodies).items()}
+        for i, b in enumerate(self.bodies):
+            d = b.def_
+            rot = _rot_of(d.angle)
+            origin = np.asarray(d.position, np.float64)
+            com = origin + _rotate(rot, b.local_center)
+            B["type"][i] = int(d.type)
+            B["origin"][i] = origin
+            B["position"][i] = com
+            B["rot"][i] = rot
+            B["rot0"][i] = rot
+            B["local_center"][i] = b.local_center
+            B["v"][i] = b.linear_velocity
+            B["w"][i] = d.angular_velocity
+            B["mass"][i] = b.mass
+            B["inv_mass"][i] = 1.0 / b.mass if b.mass > 0 else 0.0
+            B["inertia"][i] = b.inertia
+            B["inv_inertia"][i] = 1.0 / b.inertia if b.inertia > 0 else 0.0
+            B["linear_damping"][i] = d.linear_damping
+            B["angular_damping"][i] = d.angular_damping
+            B["gravity_scale"][i] = d.gravity_scale
+            B["alive"][i] = b.alive
+
+        bodies = Bodies(**{k: jnp.asarray(v) for k, v in B.items()})
+
+        # Shapes
+        S = _soa_zeros_shapes(config.max_shapes)
+        for i, s in enumerate(self.shapes):
+            g = s.geom
+            S["body"][i] = s.body
+            S["source_type"][i] = int(g.source_type)
+            S["verts"][i] = g.verts
+            S["normals"][i] = g.normals
+            S["count"][i] = g.count
+            S["radius"][i] = g.radius
+            S["friction"][i] = s.def_.friction
+            S["restitution"][i] = s.def_.restitution
+            S["density"][i] = s.def_.density
+            S["filter_category"][i] = s.def_.filter_category
+            S["filter_mask"][i] = s.def_.filter_mask
+            S["filter_group"][i] = s.def_.filter_group
+            S["alive"][i] = s.alive
+            # initial AABB + fat AABB (reference: src/shape.c:48-67)
+            b = self.bodies[s.body]
+            rot = _rot_of(b.def_.angle)
+            origin = np.asarray(b.def_.position, np.float64)
+            world = origin + np.stack([_rotate(rot, v) for v in g.verts[: g.count]])
+            lo = world.min(0) - g.radius - SPECULATIVE_DISTANCE
+            hi = world.max(0) + g.radius + SPECULATIVE_DISTANCE
+            S["aabb"][i] = np.concatenate([lo, hi])
+            margin = SPECULATIVE_DISTANCE if b.def_.type == BodyType.STATIC else AABB_MARGIN + SPECULATIVE_DISTANCE
+            S["fat_aabb"][i] = np.concatenate([lo - margin, hi + margin])
+
+        shapes = Shapes(**{k: jnp.asarray(v) for k, v in S.items()})
+
+        # Joints
+        J = _soa_zeros_joints(config.max_joints)
+        for i, j in enumerate(self.joints):
+            J["type"][i] = j.type
+            J["body_a"][i] = j.body_a
+            J["body_b"][i] = j.body_b
+            J["local_anchor_a"][i] = j.local_anchor_a
+            J["local_anchor_b"][i] = j.local_anchor_b
+            J["collide_connected"][i] = j.collide_connected
+            J["reference_angle"][i] = j.reference_angle
+            J["lower_angle"][i] = j.lower_angle
+            J["upper_angle"][i] = j.upper_angle
+            J["enable_limit"][i] = j.enable_limit
+            J["enable_motor"][i] = j.enable_motor
+            J["motor_speed"][i] = j.motor_speed
+            J["max_motor_torque"][i] = j.max_motor_torque
+            J["target"][i] = j.target
+            J["hertz"][i] = j.hertz
+            J["damping_ratio"][i] = j.damping_ratio
+            J["alive"][i] = j.alive
+
+        joints = Joints(**{k: jnp.asarray(v) for k, v in J.items()})
+
+        state = State(
+            bodies=bodies,
+            shapes=shapes,
+            contacts=Contacts.zeros(config.max_contacts),
+            joints=joints,
+            gravity=jnp.asarray(self.gravity, jnp.float32),
+            diag=Diagnostics.zeros(),
+        )
+        return state, config
+
+
+def _inv_transform(b: _Body, p):
+    rot = _rot_of(b.def_.angle)
+    v = np.asarray(p, np.float64) - np.asarray(b.def_.position, np.float64)
+    s, c = rot
+    return np.array([c * v[0] + s * v[1], -s * v[0] + c * v[1]])
+
+
+def _soa_zeros_bodies(n):
+    return {
+        "type": np.zeros((n,), np.int32),
+        "origin": np.zeros((n, 2), np.float32),
+        "position": np.zeros((n, 2), np.float32),
+        "delta_pos": np.zeros((n, 2), np.float32),
+        "delta_pos0": np.zeros((n, 2), np.float32),
+        "rot": np.tile(np.array([0.0, 1.0], np.float32), (n, 1)),
+        "rot0": np.tile(np.array([0.0, 1.0], np.float32), (n, 1)),
+        "local_center": np.zeros((n, 2), np.float32),
+        "v": np.zeros((n, 2), np.float32),
+        "w": np.zeros((n,), np.float32),
+        "v0": np.zeros((n, 2), np.float32),
+        "w0": np.zeros((n,), np.float32),
+        "force": np.zeros((n, 2), np.float32),
+        "torque": np.zeros((n,), np.float32),
+        "mass": np.zeros((n,), np.float32),
+        "inv_mass": np.zeros((n,), np.float32),
+        "inertia": np.zeros((n,), np.float32),
+        "inv_inertia": np.zeros((n,), np.float32),
+        "linear_damping": np.zeros((n,), np.float32),
+        "angular_damping": np.zeros((n,), np.float32),
+        "gravity_scale": np.ones((n,), np.float32),
+        "alive": np.zeros((n,), bool),
+    }
+
+
+def _soa_zeros_shapes(n):
+    from .config import MAX_POLYGON_VERTICES as MPV
+
+    return {
+        "body": np.full((n,), -1, np.int32),
+        "source_type": np.zeros((n,), np.int32),
+        "verts": np.zeros((n, MPV, 2), np.float32),
+        "normals": np.zeros((n, MPV, 2), np.float32),
+        "count": np.ones((n,), np.int32),
+        "radius": np.zeros((n,), np.float32),
+        "friction": np.zeros((n,), np.float32),
+        "restitution": np.zeros((n,), np.float32),
+        "density": np.zeros((n,), np.float32),
+        "filter_category": np.ones((n,), np.uint32),
+        "filter_mask": np.full((n,), 0xFFFFFFFF, np.uint32),
+        "filter_group": np.zeros((n,), np.int32),
+        "aabb": np.zeros((n, 4), np.float32),
+        "fat_aabb": np.zeros((n, 4), np.float32),
+        "alive": np.zeros((n,), bool),
+    }
+
+
+def _soa_zeros_joints(n):
+    return {
+        "type": np.zeros((n,), np.int32),
+        "body_a": np.zeros((n,), np.int32),
+        "body_b": np.zeros((n,), np.int32),
+        "local_anchor_a": np.zeros((n, 2), np.float32),
+        "local_anchor_b": np.zeros((n, 2), np.float32),
+        "collide_connected": np.zeros((n,), bool),
+        "reference_angle": np.zeros((n,), np.float32),
+        "lower_angle": np.zeros((n,), np.float32),
+        "upper_angle": np.zeros((n,), np.float32),
+        "enable_limit": np.zeros((n,), bool),
+        "enable_motor": np.zeros((n,), bool),
+        "motor_speed": np.zeros((n,), np.float32),
+        "max_motor_torque": np.zeros((n,), np.float32),
+        "target": np.zeros((n, 2), np.float32),
+        "hertz": np.zeros((n,), np.float32),
+        "damping_ratio": np.zeros((n,), np.float32),
+        "impulse": np.zeros((n, 2), np.float32),
+        "motor_impulse": np.zeros((n,), np.float32),
+        "lower_impulse": np.zeros((n,), np.float32),
+        "upper_impulse": np.zeros((n,), np.float32),
+        "alive": np.zeros((n,), bool),
+    }

@@ -1,0 +1,13 @@
+import os
+
+# CI runs on CPU with 8 virtual devices so sharding tests need no TPU.
+# (The environment pins JAX_PLATFORMS=axon; override via jax.config, which
+# wins over the env var.)
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
