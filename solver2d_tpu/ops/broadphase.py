@@ -1,0 +1,224 @@
+"""Vectorized broadphase: sweep-and-prune pair finding + persistent contact table.
+
+Replaces the reference's dynamic AABB trees + move buffer + pair hash set
+(reference: src/dynamic_tree.c, src/broad_phase.c:160-367) — pointer-chasing,
+callback-driven structures hostile to XLA — with:
+
+1. fat-AABB maintenance with the same enlarge-on-escape hysteresis
+   (reference: src/world.c:260-301, src/shape.c:48-67);
+2. a sort-based sweep-and-prune along the axis of maximum extent variance,
+   with a fixed candidate window per shape (overflow-flagged);
+3. the same pair rules as s2PairQueryCallback (reference:
+   src/broad_phase.c:166-258): no same-body pairs, filter check
+   (src/contact.h:70-79), at least one dynamic body, joint-connected
+   suppression (src/body.c:386-417);
+4. a compaction + sort yielding a canonical key-sorted contact table, and a
+   `searchsorted` match against the previous step's table that carries
+   manifold/impulse/GJK-cache state across steps — the device-side analog of
+   the persistent contact pool + pair set (src/contact.c:156-292).
+
+Everything is fixed-shape; runs under jit/vmap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AABB_MARGIN, SPECULATIVE_DISTANCE, SimConfig
+from ..state import Contacts, Shapes
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def update_fat_aabbs(shapes: Shapes, aabbs: jnp.ndarray, body_type: jnp.ndarray) -> jnp.ndarray:
+    """Enlarge-on-escape hysteresis (reference: src/world.c:286-297).
+
+    aabbs already include the speculative margin. Returns new fat AABBs."""
+    fat = shapes.fat_aabb
+    contained = (
+        (fat[:, 0] <= aabbs[:, 0]) & (fat[:, 1] <= aabbs[:, 1])
+        & (aabbs[:, 2] <= fat[:, 2]) & (aabbs[:, 3] <= fat[:, 3])
+    )
+    # static shapes get a smaller margin (reference: src/shape.c:58)
+    is_static = body_type == 0
+    margin = jnp.where(is_static, 0.0, AABB_MARGIN)
+    grown = aabbs + jnp.stack([-margin, -margin, margin, margin], axis=-1)
+    return jnp.where(contained[:, None], fat, grown)
+
+
+class PairResult(NamedTuple):
+    shape_a: jnp.ndarray  # i32 [C]
+    shape_b: jnp.ndarray  # i32 [C]
+    key: jnp.ndarray      # i32 [C] = a * max_shapes + b, INT32_MAX for empty
+    valid: jnp.ndarray    # bool [C]
+    count: jnp.ndarray    # i32 []
+    overflow: jnp.ndarray # bool []
+
+
+def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray, config: SimConfig) -> PairResult:
+    """Sweep-and-prune over fat AABBs.
+
+    body_type: [S] BodyType of each shape's body.
+    jointed_keys: sorted i32 [Jcap] canonical body-pair keys whose joints set
+    collideConnected=False (INT32_MAX padding)."""
+    S = config.max_shapes
+    K = config.sap_window
+    fat = shapes.fat_aabb
+    alive = shapes.alive
+
+    # Choose the sweep axis with the larger variance of AABB centers so e.g.
+    # vertical stacks sort along y. (Axis choice only affects performance.)
+    cx = 0.5 * (fat[:, 0] + fat[:, 2])
+    cy = 0.5 * (fat[:, 1] + fat[:, 3])
+    n_alive = jnp.maximum(alive.sum(), 1)
+    mx = jnp.where(alive, cx, 0.0).sum() / n_alive
+    my = jnp.where(alive, cy, 0.0).sum() / n_alive
+    var_x = jnp.where(alive, (cx - mx) ** 2, 0.0).sum()
+    var_y = jnp.where(alive, (cy - my) ** 2, 0.0).sum()
+    axis = jnp.where(var_y > var_x, 1, 0)
+
+    lo = jnp.where(axis == 0, fat[:, 0], fat[:, 1])
+    hi = jnp.where(axis == 0, fat[:, 2], fat[:, 3])
+    sort_key = jnp.where(alive, lo, jnp.inf)
+    order = jnp.argsort(sort_key)  # [S]
+
+    lo_s = lo[order]
+    hi_s = hi[order]
+    fat_s = fat[order]
+
+    # candidates: for rank r, partners at ranks r+1..r+K
+    ranks = jnp.arange(S)
+    partner_rank = ranks[:, None] + 1 + jnp.arange(K)[None, :]      # [S,K]
+    in_range = partner_rank < S
+    partner_rank_c = jnp.minimum(partner_rank, S - 1)
+
+    a_idx = order[:, None] * jnp.ones((1, K), jnp.int32)             # [S,K]
+    b_idx = order[partner_rank_c]                                    # [S,K]
+
+    # sweep overlap on the sort axis
+    overlap_axis = lo_s[partner_rank_c] <= hi_s[:, None]
+    # full AABB overlap
+    fb = fat_s[partner_rank_c]                                       # [S,K,4]
+    fa = fat_s[:, None, :]
+    overlap = (
+        (fa[..., 0] <= fb[..., 2]) & (fb[..., 0] <= fa[..., 2])
+        & (fa[..., 1] <= fb[..., 3]) & (fb[..., 1] <= fa[..., 3])
+    )
+
+    valid = in_range & overlap_axis & overlap
+    valid &= alive[a_idx] & alive[b_idx]
+
+    # window overflow: the (K+1)-th successor still sweep-overlaps
+    last_rank = ranks + 1 + K
+    last_ok = last_rank < S
+    last_lo = lo_s[jnp.minimum(last_rank, S - 1)]
+    window_overflow = jnp.any(last_ok & (last_lo <= hi_s) & (sort_key != jnp.inf))
+
+    # pair rules (reference: src/broad_phase.c:166-258)
+    body_a = shapes.body[a_idx]
+    body_b = shapes.body[b_idx]
+    valid &= body_a != body_b
+    # at least one dynamic
+    valid &= (body_type[body_a] == 2) | (body_type[body_b] == 2)
+    # filters (reference: src/contact.h:70-79)
+    ga = shapes.filter_group[a_idx]
+    gb = shapes.filter_group[b_idx]
+    same_group = (ga == gb) & (ga != 0)
+    mask_ok = (
+        ((shapes.filter_mask[a_idx] & shapes.filter_category[b_idx]) != 0)
+        & ((shapes.filter_category[a_idx] & shapes.filter_mask[b_idx]) != 0)
+    )
+    valid &= jnp.where(same_group, ga > 0, mask_ok)
+    # joint-connected suppression (reference: src/body.c:386-417)
+    bkey = jnp.minimum(body_a, body_b) * config.max_bodies + jnp.maximum(body_a, body_b)
+    pos = jnp.searchsorted(jointed_keys, bkey)
+    pos = jnp.minimum(pos, jointed_keys.shape[0] - 1)
+    valid &= jointed_keys[pos] != bkey
+
+    # canonical order: a < b
+    a_c = jnp.minimum(a_idx, b_idx)
+    b_c = jnp.maximum(a_idx, b_idx)
+    pair_key = jnp.where(valid, a_c * S + b_c, INT32_MAX)
+
+    # compact to C slots, sorted by key (dedup impossible: each unordered pair
+    # appears once in the window scheme)
+    C = config.max_contacts
+    flat_key = pair_key.reshape(-1)
+    flat_a = a_c.reshape(-1)
+    flat_b = b_c.reshape(-1)
+    count = (flat_key != INT32_MAX).sum()
+
+    top_key, top_pos = jax.lax.top_k(-flat_key, C)
+    top_key = -top_key
+    sa = jnp.where(top_key != INT32_MAX, flat_a[top_pos], 0)
+    sb = jnp.where(top_key != INT32_MAX, flat_b[top_pos], 0)
+
+    overflow = window_overflow | (count > C)
+    return PairResult(sa, sb, top_key, top_key != INT32_MAX, count, overflow)
+
+
+def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type: jnp.ndarray, body_of) -> Contacts:
+    """Build this step's contact table, carrying persistent state from `old`.
+
+    Equivalent to the reference's persistent contact pool: a pair that existed
+    last step keeps its manifold impulses, friction anchors, and GJK cache
+    (reference: src/contact.c:156-229 creation, :296-359 persistence)."""
+    new_key = pairs.key
+    old_key = old.key  # sorted, INT32_MAX padded
+
+    pos = jnp.searchsorted(old_key, new_key)
+    pos = jnp.minimum(pos, old_key.shape[0] - 1)
+    found = (old_key[pos] == new_key) & (new_key != INT32_MAX) & old.alive[pos]
+
+    def carry(old_arr, default_val):
+        gathered = old_arr[pos]
+        if gathered.ndim == 1:
+            return jnp.where(found, gathered, default_val)
+        return jnp.where(found.reshape(found.shape + (1,) * (gathered.ndim - 1)), gathered, default_val)
+
+    sa, sb = pairs.shape_a, pairs.shape_b
+    friction = jnp.sqrt(shapes.friction[sa] * shapes.friction[sb])          # contact.c:42-45
+    restitution = jnp.maximum(shapes.restitution[sa], shapes.restitution[sb])  # contact.c:47-52
+
+    C = new_key.shape[0]
+    z2 = jnp.zeros((C, 2), jnp.float32)
+    z22 = jnp.zeros((C, 2, 2), jnp.float32)
+
+    return Contacts(
+        key=new_key,
+        shape_a=sa,
+        shape_b=sb,
+        body_a=body_of[sa],
+        body_b=body_of[sb],
+        friction=friction,
+        restitution=restitution,
+        normal=carry(old.normal, z2),
+        anchor_a=carry(old.anchor_a, z22),
+        anchor_b=carry(old.anchor_b, z22),
+        separation=carry(old.separation, z2),
+        normal_impulse=carry(old.normal_impulse, z2),
+        tangent_impulse=carry(old.tangent_impulse, z2),
+        point_id=carry(old.point_id, jnp.zeros((C, 2), jnp.int32)),
+        persisted=carry(old.persisted, jnp.zeros((C, 2), bool)),
+        point_count=carry(old.point_count, jnp.zeros((C,), jnp.int32)),
+        friction_normal_a=carry(old.friction_normal_a, z22),
+        friction_normal_b=carry(old.friction_normal_b, z22),
+        friction_anchor_a=carry(old.friction_anchor_a, z22),
+        friction_anchor_b=carry(old.friction_anchor_b, z22),
+        friction_persisted=carry(old.friction_persisted, jnp.zeros((C,), bool)),
+        cache_count=carry(old.cache_count, jnp.zeros((C,), jnp.int32)),
+        cache_index_a=carry(old.cache_index_a, jnp.zeros((C, 3), jnp.int32)),
+        cache_index_b=carry(old.cache_index_b, jnp.zeros((C, 3), jnp.int32)),
+        alive=pairs.valid,
+    )
+
+
+def jointed_body_keys(joints, config: SimConfig) -> jnp.ndarray:
+    """Sorted canonical body-pair keys for joints with collideConnected=False."""
+    ba, bb = joints.body_a, joints.body_b
+    key = jnp.minimum(ba, bb) * config.max_bodies + jnp.maximum(ba, bb)
+    key = jnp.where(joints.alive & ~joints.collide_connected, key, INT32_MAX)
+    return jnp.sort(key)

@@ -1,0 +1,282 @@
+"""Shared solver kernels: integration, constraint preparation, warm starting,
+NGS position correction, impulse storage.
+
+Functional re-derivation of reference: src/solve_common.c. Sequential
+Gauss-Seidel sweeps become graph-colored passes (see ops/coloring.py): a
+`fori_loop` over colors where each color's constraints are solved in parallel
+with disjoint scatter-writes — within a color this is bitwise-equivalent to a
+sequential sweep in some order.
+
+Body state during solving is the tuple BS = (v, w, delta_pos, rot); contact
+constraint data is the immutable `ContactCons`; accumulated impulses are the
+mutable `(normal_impulse, tangent_impulse)` pair threaded through loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    BAUMGARTE,
+    CONTACT_ZETA,
+    LINEAR_SLOP,
+    MAX_BAUMGARTE_VELOCITY,
+    MAX_LINEAR_CORRECTION,
+    PI,
+)
+from ..ops import math2d as m
+from ..state import Bodies, Contacts
+
+
+# ---------------------------------------------------------------- integration
+
+def integrate_velocities(bodies: Bodies, v_in, w_in, gravity, h):
+    """reference: src/solve_common.c:10-45. Uses bodies only for constant
+    fields (mass, damping, forces); velocities come from the loop carry."""
+    dyn = (bodies.type == 2) & bodies.alive
+    mg = bodies.mass[:, None] * bodies.gravity_scale[:, None] * gravity[None, :]
+    v = v_in + (h * bodies.inv_mass)[:, None] * (bodies.force + mg)
+    w = w_in + h * bodies.inv_inertia * bodies.torque
+    v = v / (1.0 + h * bodies.linear_damping)[:, None]
+    w = w / (1.0 + h * bodies.angular_damping)
+    v = jnp.where(dyn[:, None], v, v_in)
+    w = jnp.where(dyn, w, w_in)
+    return v, w
+
+
+def integrate_positions(bodies_alive, bodies_type, delta_pos, rot, v, w, h):
+    """reference: src/solve_common.c:47-68 (non-static bodies)"""
+    moving = bodies_alive & (bodies_type != 0)
+    dp = jnp.where(moving[:, None], delta_pos + h * v, delta_pos)
+    new_rot = m.integrate_rot(rot, h * w)
+    r = jnp.where(moving[:, None], new_rot, rot)
+    return dp, r
+
+
+def finalize_positions(bodies: Bodies, delta_pos, rot, v, w) -> Bodies:
+    """position += delta; recompute origin; clear forces
+    (reference: src/solve_common.c:70-91, src/world.c:260-301)."""
+    moving = bodies.alive & (bodies.type != 0)
+    position = jnp.where(moving[:, None], bodies.position + delta_pos, bodies.position)
+    origin = jnp.where(
+        moving[:, None], position - m.rotate(rot, bodies.local_center), bodies.origin
+    )
+    return Bodies(
+        type=bodies.type,
+        origin=origin,
+        position=position,
+        delta_pos=jnp.zeros_like(delta_pos),
+        delta_pos0=jnp.zeros_like(delta_pos),
+        rot=rot,
+        rot0=rot,
+        local_center=bodies.local_center,
+        v=v,
+        w=w,
+        v0=bodies.v0,
+        w0=bodies.w0,
+        force=jnp.zeros_like(bodies.force),
+        torque=jnp.zeros_like(bodies.torque),
+        mass=bodies.mass,
+        inv_mass=bodies.inv_mass,
+        inertia=bodies.inertia,
+        inv_inertia=bodies.inv_inertia,
+        linear_damping=bodies.linear_damping,
+        angular_damping=bodies.angular_damping,
+        gravity_scale=bodies.gravity_scale,
+        alive=bodies.alive,
+    )
+
+
+# ------------------------------------------------------------- constraint prep
+
+class ContactCons(NamedTuple):
+    """Immutable per-contact constraint data (mirror of s2ContactConstraint,
+    reference: src/solvers.h:26-56, point axis = trailing [C,2])."""
+
+    ia: jnp.ndarray
+    ib: jnp.ndarray
+    inv_mass_a: jnp.ndarray
+    inv_i_a: jnp.ndarray
+    inv_mass_b: jnp.ndarray
+    inv_i_b: jnp.ndarray
+    normal: jnp.ndarray        # [C,2]
+    friction: jnp.ndarray      # [C]
+    active: jnp.ndarray        # [C] alive & point_count > 0
+    pmask: jnp.ndarray         # [C,2] per-point validity
+    local_anchor_a: jnp.ndarray  # [C,2,2] com-relative
+    local_anchor_b: jnp.ndarray
+    r_a0: jnp.ndarray          # [C,2,2] world anchors at prepare
+    r_b0: jnp.ndarray
+    separation: jnp.ndarray    # [C,2]
+    adjusted_separation: jnp.ndarray  # [C,2]
+    normal_mass: jnp.ndarray   # [C,2]
+    tangent_mass: jnp.ndarray  # [C,2]
+    bias_coef: jnp.ndarray     # [C,2]
+    mass_coef: jnp.ndarray     # [C,2]
+    imp_coef: jnp.ndarray      # [C,2]
+
+
+def _effective_masses(rA, rB, normal, mA, iA, mB, iB):
+    """kNormal/kTangent per point. rA/rB: [C,2,2]; normal: [C,2]."""
+    tangent = m.right_perp(normal)
+    rnA = m.cross(rA, normal[:, None, :])
+    rnB = m.cross(rB, normal[:, None, :])
+    k_n = mA[:, None] + mB[:, None] + iA[:, None] * rnA**2 + iB[:, None] * rnB**2
+    rtA = m.cross(rA, tangent[:, None, :])
+    rtB = m.cross(rB, tangent[:, None, :])
+    k_t = mA[:, None] + mB[:, None] + iA[:, None] * rtA**2 + iB[:, None] * rtB**2
+    nm = jnp.where(k_n > 0.0, 1.0 / jnp.where(k_n > 0.0, k_n, 1.0), 0.0)
+    tm = jnp.where(k_t > 0.0, 1.0 / jnp.where(k_t > 0.0, k_t, 1.0), 0.0)
+    return nm, tm
+
+
+def prepare_contacts(bodies: Bodies, contacts: Contacts, *, h, hertz, soft: bool, warm_start: bool):
+    """PGS prep (reference: src/solve_common.c:93-168) and soft prep
+    (:188-274) in one kernel; `soft` selects the coefficient model.
+
+    Returns (cons, normal_impulse, tangent_impulse)."""
+    ia, ib = contacts.body_a, contacts.body_b
+    mA, iA = bodies.inv_mass[ia], bodies.inv_inertia[ia]
+    mB, iB = bodies.inv_mass[ib], bodies.inv_inertia[ib]
+    qA, qB = bodies.rot[ia], bodies.rot[ib]
+
+    active = contacts.alive & (contacts.point_count > 0)
+    pmask = active[:, None] & (jnp.arange(2)[None, :] < contacts.point_count[:, None])
+
+    normal = contacts.normal
+    la = contacts.anchor_a - bodies.local_center[ia][:, None, :]
+    lb = contacts.anchor_b - bodies.local_center[ib][:, None, :]
+    rA = m.rotate(qA[:, None, :], la)
+    rB = m.rotate(qB[:, None, :], lb)
+
+    sep = contacts.separation
+    adj = sep - ((rB - rA) * normal[:, None, :]).sum(-1)
+
+    nm, tm = _effective_masses(rA, rB, normal, mA, iA, mB, iB)
+
+    if soft:
+        # stiffer vs statics (solve_common.c:219)
+        contact_hertz = jnp.where((mA == 0.0) | (mB == 0.0), 2.0 * hertz, hertz)[:, None]
+        omega = 2.0 * PI * contact_hertz
+        c = h * omega * (2.0 * CONTACT_ZETA + h * omega)
+        bias_coef = omega / (2.0 * CONTACT_ZETA + h * omega)
+        imp_coef = 1.0 / (1.0 + c)
+        mass_coef = c * imp_coef
+    else:
+        bias_coef = jnp.where(sep > 0.0, 1.0, 0.0)
+        mass_coef = jnp.ones_like(sep)
+        imp_coef = jnp.zeros_like(sep)
+    # Both preps keep warm impulses unconditionally: the PGS prep's
+    # `cp->separation <= 0` guard (solve_common.c:133) reads the just-zeroed
+    # stack allocation (stack_allocator.c:83 memset), so it always passes.
+    keep = jnp.full_like(sep, warm_start, dtype=bool)
+
+    n_imp = jnp.where(keep & pmask, contacts.normal_impulse, 0.0)
+    t_imp = jnp.where(keep & pmask, contacts.tangent_impulse, 0.0)
+
+    cons = ContactCons(
+        ia=ia, ib=ib, inv_mass_a=mA, inv_i_a=iA, inv_mass_b=mB, inv_i_b=iB,
+        normal=normal, friction=contacts.friction, active=active, pmask=pmask,
+        local_anchor_a=la, local_anchor_b=lb, r_a0=rA, r_b0=rB,
+        separation=sep, adjusted_separation=adj,
+        normal_mass=nm, tangent_mass=tm,
+        bias_coef=bias_coef, mass_coef=mass_coef, imp_coef=imp_coef,
+    )
+    return cons, n_imp, t_imp
+
+
+# ---------------------------------------------------------------- warm start
+
+def warm_start(v, w, cons: ContactCons, n_imp, t_imp, rot=None, fixed_anchors: bool = False):
+    """Apply accumulated impulses (reference: src/solve_common.c:276-326;
+    fixed-anchor variant src/solve_soft_step.c:16-63). Order-independent, so a
+    single scatter-add over all contacts (no coloring needed)."""
+    if fixed_anchors:
+        rA, rB = cons.r_a0, cons.r_b0
+    else:
+        qA, qB = rot[cons.ia], rot[cons.ib]
+        rA = m.rotate(qA[:, None, :], cons.local_anchor_a)
+        rB = m.rotate(qB[:, None, :], cons.local_anchor_b)
+
+    tangent = m.right_perp(cons.normal)
+    P = n_imp[..., None] * cons.normal[:, None, :] + t_imp[..., None] * tangent[:, None, :]  # [C,2,2]
+    P = jnp.where(cons.pmask[..., None], P, 0.0)
+    P_tot = P.sum(axis=1)  # [C,2]
+    torque_a = m.cross(rA, P).sum(axis=1)  # [C]
+    torque_b = m.cross(rB, P).sum(axis=1)
+
+    v = v.at[cons.ia].add(-cons.inv_mass_a[:, None] * P_tot)
+    w = w.at[cons.ia].add(-cons.inv_i_a * torque_a)
+    v = v.at[cons.ib].add(cons.inv_mass_b[:, None] * P_tot)
+    w = w.at[cons.ib].add(cons.inv_i_b * torque_b)
+    return v, w
+
+
+# ---------------------------------------------------------- colored GS driver
+
+def colored_pass(n_colors: int, color, solve_fn, carry):
+    """Run solve_fn once per color with mask = (color == k).
+
+    solve_fn(carry, mask[C]) -> carry. Within a color the constraints touch
+    disjoint dynamic bodies, so parallel gather/compute/scatter-add equals a
+    sequential Gauss-Seidel sweep."""
+
+    def body(k, carry):
+        return solve_fn(carry, color == k)
+
+    return jax.lax.fori_loop(0, n_colors, body, carry, unroll=True)
+
+
+# ------------------------------------------------------------ NGS positions
+
+def ngs_pass(delta_pos, rot, cons: ContactCons, mask):
+    """Nonlinear Gauss-Seidel position correction for one color
+    (reference: src/solve_common.c:328-394)."""
+    ia, ib = cons.ia, cons.ib
+    mA, iA = cons.inv_mass_a, cons.inv_i_a
+    mB, iB = cons.inv_mass_b, cons.inv_i_b
+    dcA, dcB = delta_pos[ia], delta_pos[ib]
+    qA, qB = rot[ia], rot[ib]
+    normal = cons.normal
+
+    for j in range(2):
+        rA = m.rotate(qA, cons.local_anchor_a[:, j])
+        rB = m.rotate(qB, cons.local_anchor_b[:, j])
+        d = (dcB - dcA) + (rB - rA)
+        sep = (d * normal).sum(-1) + cons.adjusted_separation[:, j]
+        C = jnp.clip(BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0)
+        rnA = m.cross(rA, normal)
+        rnB = m.cross(rB, normal)
+        K = mA + mB + iA * rnA**2 + iB * rnB**2
+        impulse = jnp.where(K > 0.0, -C / jnp.where(K > 0.0, K, 1.0), 0.0)
+        # NGS skips speculative points (solve_common.c:355-359)
+        ok = mask & cons.pmask[:, j] & (cons.separation[:, j] <= 0.0)
+        impulse = jnp.where(ok, impulse, 0.0)
+        P = impulse[:, None] * normal
+        dcA = dcA - mA[:, None] * P
+        qA = m.integrate_rot(qA, -iA * m.cross(rA, P))
+        dcB = dcB + mB[:, None] * P
+        qB = m.integrate_rot(qB, iB * m.cross(rB, P))
+
+    upd = mask & cons.active
+    delta_pos = delta_pos.at[ia].add(jnp.where(upd[:, None], dcA - delta_pos[ia], 0.0))
+    delta_pos = delta_pos.at[ib].add(jnp.where(upd[:, None], dcB - delta_pos[ib], 0.0))
+    rot = rot.at[ia].add(jnp.where(upd[:, None], qA - rot[ia], 0.0))
+    rot = rot.at[ib].add(jnp.where(upd[:, None], qB - rot[ib], 0.0))
+    return delta_pos, rot
+
+
+def store_impulses(contacts: Contacts, cons: ContactCons, n_imp, t_imp) -> Contacts:
+    """Write accumulated impulses back to the manifold for next-step warm
+    starting (reference: src/solve_common.c:396-410)."""
+    import dataclasses
+
+    keep = cons.pmask
+    return dataclasses.replace(
+        contacts,
+        normal_impulse=jnp.where(keep, n_imp, contacts.normal_impulse),
+        tangent_impulse=jnp.where(keep, t_imp, contacts.tangent_impulse),
+    )

@@ -1,0 +1,432 @@
+"""Joint constraint kernels: revolute (5 solver variants) + mouse.
+
+Functional re-derivation of reference: src/revolute_joint.c and
+src/mouse_joint.c, vectorized over the joint array with a type mask (revolute
+vs mouse selected per lane). Dispatch tables in src/joint.c:294-465 map to the
+mode arguments here:
+
+- prepare / warm start           (revolute_joint.c:30-150, mouse_joint.c:31-107)
+- solve rigid                    (revolute_joint.c:152-303; mouse solved always)
+- solve soft                     (revolute_joint.c:508-657; mouse only when bias,
+                                  joint.c:388-397)
+- solve Baumgarte                (revolute_joint.c:660-790)
+- position solve (NGS)           (revolute_joint.c:305-419)
+- solve XPBD                     (revolute_joint.c:825-888)
+
+Fresh pivot effective mass is recomputed every solve (S2_FRESH_PIVOT_MASS=1,
+revolute_joint.c:15). Joints are colored like contacts; each colored pass
+scatters disjoint body updates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import (
+    ANGULAR_SLOP,
+    BAUMGARTE,
+    MAX_ANGULAR_CORRECTION,
+    PI,
+)
+from ..ops import math2d as m
+from ..state import Bodies, Joints
+
+
+class JointCons(NamedTuple):
+    ia: jnp.ndarray
+    ib: jnp.ndarray
+    is_mouse: jnp.ndarray   # bool [J]
+    active: jnp.ndarray     # bool [J]
+    inv_mass_a: jnp.ndarray
+    inv_i_a: jnp.ndarray
+    inv_mass_b: jnp.ndarray
+    inv_i_b: jnp.ndarray
+    local_anchor_a: jnp.ndarray  # [J,2] com-relative
+    local_anchor_b: jnp.ndarray
+    center_diff0: jnp.ndarray    # [J,2]
+    axial_mass: jnp.ndarray      # [J]
+    pivot_mass: jnp.ndarray      # [J,2,2]
+    bias_coef: jnp.ndarray       # [J]
+    mass_coef: jnp.ndarray       # [J]
+    imp_coef: jnp.ndarray        # [J]
+    # revolute params
+    reference_angle: jnp.ndarray
+    lower_angle: jnp.ndarray
+    upper_angle: jnp.ndarray
+    enable_limit: jnp.ndarray
+    enable_motor: jnp.ndarray
+    motor_speed: jnp.ndarray
+    max_motor_torque: jnp.ndarray
+    # mouse params
+    target: jnp.ndarray          # [J,2]
+
+
+class JointImp(NamedTuple):
+    impulse: jnp.ndarray        # [J,2]
+    motor: jnp.ndarray          # [J]
+    lower: jnp.ndarray          # [J]
+    upper: jnp.ndarray          # [J]
+
+
+def _pivot_k(rA, rB, mA, mB, iA, iB):
+    k11 = mA + mB + rA[:, 1] ** 2 * iA + rB[:, 1] ** 2 * iB
+    k12 = -rA[:, 1] * rA[:, 0] * iA - rB[:, 1] * rB[:, 0] * iB
+    k22 = mA + mB + rA[:, 0] ** 2 * iA + rB[:, 0] ** 2 * iB
+    return m.mat22(k11, k12, k12, k22)
+
+
+def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm_start: bool):
+    """Revolute prep (revolute_joint.c:30-105 rigid, :421-506 soft) + mouse
+    prep (mouse_joint.c:31-83). Returns (cons, imp)."""
+    ia, ib = joints.body_a, joints.body_b
+    is_mouse = joints.type == 1
+    mA, iA = bodies.inv_mass[ia], bodies.inv_inertia[ia]
+    mB, iB = bodies.inv_mass[ib], bodies.inv_inertia[ib]
+    # mouse joint ignores body A entirely (mouse_joint.c:31-107)
+    mA = jnp.where(is_mouse, 0.0, mA)
+    iA = jnp.where(is_mouse, 0.0, iA)
+
+    la = joints.local_anchor_a - bodies.local_center[ia]
+    lb = joints.local_anchor_b - bodies.local_center[ib]
+    qA, qB = bodies.rot[ia], bodies.rot[ib]
+    rA = m.rotate(qA, la)
+    rB = m.rotate(qB, lb)
+
+    center_diff0 = jnp.where(
+        is_mouse[:, None],
+        bodies.position[ib] - joints.target,  # mouse_joint.c:75-76
+        bodies.position[ib] - bodies.position[ia],  # revolute_joint.c:53
+    )
+
+    K = _pivot_k(rA, rB, mA, mB, iA, iB)
+    pivot_mass = m.inverse22(K)
+
+    k_ax = iA + iB
+    axial_mass = jnp.where(k_ax > 0.0, 1.0 / jnp.where(k_ax > 0.0, k_ax, 1.0), 0.0)
+    fixed_rotation = k_ax == 0.0
+
+    # soft coefficients: mouse uses its own hertz/damping with substep h
+    # (mouse_joint.c:50-58); revolute soft uses the solver's joint hertz with
+    # zeta=10 (revolute_joint.c:470-477)
+    zeta = jnp.where(is_mouse, joints.damping_ratio, 10.0)
+    hz = jnp.where(is_mouse, joints.hertz, hertz if soft else 0.0)
+    omega = 2.0 * PI * hz
+    c = h * omega * (2.0 * zeta + h * omega)
+    denom = 2.0 * zeta + h * omega
+    bias_coef = jnp.where(denom > 0.0, omega / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+    imp_coef = 1.0 / (1.0 + c)
+    mass_coef = c * imp_coef
+
+    keep_axial = joints.alive & warm_start & ~fixed_rotation
+    imp = JointImp(
+        impulse=jnp.where((joints.alive & warm_start)[:, None], joints.impulse, 0.0),
+        motor=jnp.where(keep_axial & joints.enable_motor, joints.motor_impulse, 0.0),
+        lower=jnp.where(keep_axial & joints.enable_limit, joints.lower_impulse, 0.0),
+        upper=jnp.where(keep_axial & joints.enable_limit, joints.upper_impulse, 0.0),
+    )
+    # mouse keeps motor_impulse as its angular-damping state
+    imp = imp._replace(motor=jnp.where(is_mouse, joints.motor_impulse, imp.motor))
+
+    cons = JointCons(
+        ia=ia, ib=ib, is_mouse=is_mouse, active=joints.alive,
+        inv_mass_a=mA, inv_i_a=iA, inv_mass_b=mB, inv_i_b=iB,
+        local_anchor_a=la, local_anchor_b=lb, center_diff0=center_diff0,
+        axial_mass=axial_mass, pivot_mass=pivot_mass,
+        bias_coef=bias_coef, mass_coef=mass_coef, imp_coef=imp_coef,
+        reference_angle=joints.reference_angle,
+        lower_angle=joints.lower_angle, upper_angle=joints.upper_angle,
+        enable_limit=joints.enable_limit, enable_motor=joints.enable_motor,
+        motor_speed=joints.motor_speed, max_motor_torque=joints.max_motor_torque,
+        target=joints.target,
+    )
+    return cons, imp
+
+
+def warm_start_pass(carry, mask, cons: JointCons, imp: JointImp):
+    """(revolute_joint.c:107-150, mouse_joint.c:85-107) — applied per color."""
+    v, w, dp, rot = carry[:4]
+    ia, ib = cons.ia, cons.ib
+    qA, qB = rot[ia], rot[ib]
+    rA = m.rotate(qA, cons.local_anchor_a)
+    rB = m.rotate(qB, cons.local_anchor_b)
+    axial = imp.motor + imp.lower - imp.upper
+    axial = jnp.where(cons.is_mouse, imp.motor, axial)
+    P = imp.impulse
+
+    upd = mask & cons.active
+    updn = upd[:, None]
+    not_mouse = ~cons.is_mouse
+    v = v.at[ia].add(jnp.where(updn & not_mouse[:, None], -cons.inv_mass_a[:, None] * P, 0.0))
+    w = w.at[ia].add(jnp.where(upd & not_mouse, -cons.inv_i_a * (m.cross(rA, P) + axial), 0.0))
+    v = v.at[ib].add(jnp.where(updn, cons.inv_mass_b[:, None] * P, 0.0))
+    w = w.at[ib].add(jnp.where(upd, cons.inv_i_b * (m.cross(rB, P) + axial), 0.0))
+    return (v, w) + tuple(carry[2:])
+
+
+def _motor_limits(cons, imp, wA, wB, qA, qB, h, inv_h, mode: str, use_bias: bool):
+    """Motor + angle limits shared by rigid/soft/baumgarte solves.
+    mode: 'rigid' (revolute_joint.c:174-219), 'soft' (:527-603),
+    'baumgarte' (:679-747). Returns (wA, wB, imp)."""
+    iA, iB = cons.inv_i_a, cons.inv_i_b
+    fixed_rot = (iA + iB) == 0.0
+    rev = ~cons.is_mouse & cons.active
+
+    # Motor
+    do_motor = rev & cons.enable_motor & ~fixed_rot
+    cdot = wB - wA - cons.motor_speed
+    impulse = -cons.axial_mass * cdot
+    max_imp = h * cons.max_motor_torque
+    new_motor = jnp.clip(imp.motor + impulse, -max_imp, max_imp)
+    d = jnp.where(do_motor, new_motor - imp.motor, 0.0)
+    motor = jnp.where(do_motor, new_motor, imp.motor)
+    wA = wA - iA * d
+    wB = wB + iB * d
+
+    # Limits
+    do_limit = rev & cons.enable_limit & ~fixed_rot
+    angle = m.relative_angle(qB, qA) - cons.reference_angle
+
+    def limit(C, cdot, old, scale_imp):
+        if mode == "rigid":
+            bias = jnp.maximum(C, 0.0) * inv_h
+            mass_scale = 1.0
+            imp_scale = jnp.zeros_like(C)
+        elif mode == "soft":
+            spec = C > 0.0
+            bias = jnp.where(spec, C * inv_h, jnp.where(use_bias, cons.bias_coef * C, 0.0))
+            mass_scale = jnp.where(spec | ~use_bias, 1.0, cons.mass_coef)
+            imp_scale = jnp.where(spec | ~use_bias, 0.0, cons.imp_coef)
+        else:  # baumgarte
+            spec = C > 0.0
+            bias = jnp.where(spec, C * inv_h, jnp.where(use_bias, BAUMGARTE * inv_h * C, 0.0))
+            mass_scale = 1.0
+            imp_scale = jnp.zeros_like(C)
+        impulse = -cons.axial_mass * mass_scale * (cdot + bias) - imp_scale * scale_imp
+        new = jnp.maximum(old + impulse, 0.0)
+        return new
+
+    # Lower limit
+    C_lo = angle - cons.lower_angle
+    new_lower = limit(C_lo, wB - wA, imp.lower, imp.lower)
+    d_lo = jnp.where(do_limit, new_lower - imp.lower, 0.0)
+    lower = jnp.where(do_limit, new_lower, imp.lower)
+    wA = wA - iA * d_lo
+    wB = wB + iB * d_lo
+
+    # Upper limit (signs flipped, revolute_joint.c:205-218). NOTE: the soft
+    # variant's impulse-scale term reads lowerImpulse here — mirroring
+    # revolute_joint.c:595 exactly for behavior parity.
+    C_hi = cons.upper_angle - angle
+    new_upper = limit(C_hi, wA - wB, imp.upper, imp.lower)
+    d_hi = jnp.where(do_limit, new_upper - imp.upper, 0.0)
+    upper = jnp.where(do_limit, new_upper, imp.upper)
+    wA = wA + iA * d_hi
+    wB = wB - iB * d_hi
+
+    return wA, wB, imp._replace(motor=motor, lower=lower, upper=upper)
+
+
+def _mouse_angular_damping(cons, imp, wB, inertia_b, h):
+    """Mouse pseudo-motor angular damping (mouse_joint.c:120-131)."""
+    zeta, hz = 0.1, 0.5
+    omega = 2.0 * PI * hz
+    c = h * omega * (2.0 * zeta + h * omega)
+    imp_scale = 1.0 / (1.0 + c)
+    mass_scale = c * imp_scale
+    impulse = -mass_scale * inertia_b * wB - imp_scale * imp.motor
+    do = cons.is_mouse & cons.active
+    motor = jnp.where(do, imp.motor + impulse, imp.motor)
+    wB = wB + jnp.where(do, cons.inv_i_b * impulse, 0.0)
+    return wB, imp._replace(motor=motor)
+
+
+def solve_pass(carry, mask, cons: JointCons, mode: str, h, inv_h, use_bias: bool, inertia, solve_mouse: bool = True, only_mouse: bool = False):
+    """One colored joint velocity pass.
+
+    mode: 'rigid' | 'soft' | 'baumgarte'. carry = (v, w, dp, rot, imp).
+    inertia: [B] body rotational inertias (for the mouse damping pseudo-motor).
+    solve_mouse: mouse joints are skipped in soft relax passes
+    (joint.c:390-397)."""
+    v, w, dp, rot, imp = carry
+    ia, ib = cons.ia, cons.ib
+    vA, wA = v[ia], w[ia]
+    vB, wB = v[ib], w[ib]
+    qA, qB = rot[ia], rot[ib]
+    mA, iA = cons.inv_mass_a, cons.inv_i_a
+    mB, iB = cons.inv_mass_b, cons.inv_i_b
+
+    wA0_in, wB0_in, vA0_in, vB0_in = wA, wB, vA, vB
+
+    wA, wB, imp2 = _motor_limits(cons, imp, wA, wB, qA, qB, h, inv_h, mode, use_bias)
+
+    if solve_mouse:
+        wB, imp2 = _mouse_angular_damping(cons, imp2, wB, inertia[ib], h)
+
+    # Point-to-point
+    rA = m.rotate(qA, cons.local_anchor_a)
+    rB = m.rotate(qB, cons.local_anchor_b)
+    cdot = (vB + m.cross_sv(wB, rB)) - (vA + m.cross_sv(wA, rA))
+
+    separation = (dp[ib] - dp[ia]) + (rB - rA) + cons.center_diff0
+    # mouse separation: dcB + rB + (cB0 - target) (mouse_joint.c:138-141)
+    separation = jnp.where(cons.is_mouse[:, None], dp[ib] + rB + cons.center_diff0, separation)
+
+    if mode == "rigid":
+        bias = jnp.zeros_like(cdot)
+        mass_scale = jnp.ones((cdot.shape[0],))
+        imp_scale = jnp.zeros((cdot.shape[0],))
+    elif mode == "soft":
+        bias = jnp.where(use_bias, cons.bias_coef[:, None] * separation, 0.0)
+        mass_scale = jnp.where(use_bias, cons.mass_coef, 1.0)
+        imp_scale = jnp.where(use_bias, cons.imp_coef, 0.0)
+    else:  # baumgarte (always biased, revolute_joint.c:762-763)
+        bias = BAUMGARTE * inv_h * separation
+        mass_scale = jnp.ones((cdot.shape[0],))
+        imp_scale = jnp.zeros((cdot.shape[0],))
+
+    # mouse always uses its soft coefficients (mouse_joint.c:133-159)
+    bias = jnp.where(cons.is_mouse[:, None], cons.bias_coef[:, None] * separation, bias)
+    mass_scale = jnp.where(cons.is_mouse, cons.mass_coef, mass_scale)
+    imp_scale = jnp.where(cons.is_mouse, cons.imp_coef, imp_scale)
+
+    # fresh pivot mass (S2_FRESH_PIVOT_MASS, revolute_joint.c:630-636); the
+    # mouse joint uses its prepared pivot mass (mouse_joint.c:153)
+    K = _pivot_k(rA, rB, mA, mB, iA, iB)
+    b_fresh = m.solve22(K, cdot + bias)
+    b_prep = m.mul_mv(cons.pivot_mass, cdot + bias)
+    b = jnp.where(cons.is_mouse[:, None], b_prep, b_fresh)
+
+    impulse = -mass_scale[:, None] * b - imp_scale[:, None] * imp2.impulse
+    new_imp = imp2.impulse + impulse
+
+    not_mouse = ~cons.is_mouse
+    vA = vA - jnp.where(not_mouse, mA, 0.0)[:, None] * impulse
+    wA = wA - jnp.where(not_mouse, iA, 0.0) * m.cross(rA, impulse)
+    vB = vB + mB[:, None] * impulse
+    wB = wB + iB * m.cross(rB, impulse)
+
+    # soft relax passes leave mouse joints untouched (joint.c:390-397);
+    # the XPBD loop solves ONLY mouse joints in velocity space (joint.c:450-465)
+    upd = mask & cons.active
+    if not solve_mouse:
+        upd = upd & ~cons.is_mouse
+    if only_mouse:
+        upd = upd & cons.is_mouse
+    updn = upd[:, None]
+
+    v = v.at[ia].add(jnp.where(updn, vA - vA0_in, 0.0))
+    w = w.at[ia].add(jnp.where(upd, wA - wA0_in, 0.0))
+    v = v.at[ib].add(jnp.where(updn, vB - vB0_in, 0.0))
+    w = w.at[ib].add(jnp.where(upd, wB - wB0_in, 0.0))
+    imp_out = JointImp(
+        impulse=jnp.where(updn, new_imp, imp.impulse),
+        motor=jnp.where(upd, imp2.motor, imp.motor),
+        lower=jnp.where(upd, imp2.lower, imp.lower),
+        upper=jnp.where(upd, imp2.upper, imp.upper),
+    )
+    return (v, w, dp, rot, imp_out)
+
+
+def position_pass(carry, mask, cons: JointCons):
+    """NGS joint position solve (revolute_joint.c:305-419): angular limit
+    correction + point-to-point projection. Mouse joints are skipped
+    (joint.c:353-364). carry = (dp, rot)."""
+    dp, rot = carry
+    ia, ib = cons.ia, cons.ib
+    dcA, dcB = dp[ia], dp[ib]
+    qA, qB = rot[ia], rot[ib]
+    mA, iA = cons.inv_mass_a, cons.inv_i_a
+    mB, iB = cons.inv_mass_b, cons.inv_i_b
+    fixed_rot = (iA + iB) == 0.0
+    rev = ~cons.is_mouse & cons.active
+
+    # angular limit (revolute_joint.c:322-346)
+    do_limit = rev & cons.enable_limit & ~fixed_rot
+    angle = m.relative_angle(qB, qA) - cons.reference_angle
+    equal = jnp.abs(cons.upper_angle - cons.lower_angle) < 2.0 * ANGULAR_SLOP
+    C_eq = jnp.clip(angle - cons.lower_angle, -MAX_ANGULAR_CORRECTION, MAX_ANGULAR_CORRECTION)
+    C_lo = jnp.clip(angle - cons.lower_angle + ANGULAR_SLOP, -MAX_ANGULAR_CORRECTION, 0.0)
+    C_hi = jnp.clip(angle - cons.upper_angle - ANGULAR_SLOP, 0.0, MAX_ANGULAR_CORRECTION)
+    C = jnp.where(
+        equal, C_eq,
+        jnp.where(angle <= cons.lower_angle, C_lo, jnp.where(angle >= cons.upper_angle, C_hi, 0.0)),
+    )
+    limit_imp = jnp.where(do_limit, -cons.axial_mass * C, 0.0)
+    qA = m.integrate_rot(qA, -iA * limit_imp)
+    qB = m.integrate_rot(qB, iB * limit_imp)
+
+    # point-to-point (revolute_joint.c:348-413)
+    rA = m.rotate(qA, cons.local_anchor_a)
+    rB = m.rotate(qB, cons.local_anchor_b)
+    Cp = (dcB - dcA) + (rB - rA) + cons.center_diff0
+    K = _pivot_k(rA, rB, mA, mB, iA, iB)
+    impulse = m.solve22(K, -Cp)
+    impulse = jnp.where(rev[:, None], impulse, 0.0)
+
+    dcA = dcA - mA[:, None] * impulse
+    qA = m.integrate_rot(qA, -iA * m.cross(rA, impulse))
+    dcB = dcB + mB[:, None] * impulse
+    qB = m.integrate_rot(qB, iB * m.cross(rB, impulse))
+
+    upd = mask & rev
+    updn = upd[:, None]
+    dp = dp.at[ia].add(jnp.where(updn, dcA - dp[ia], 0.0))
+    dp = dp.at[ib].add(jnp.where(updn, dcB - dp[ib], 0.0))
+    rot = rot.at[ia].add(jnp.where(updn, qA - rot[ia], 0.0))
+    rot = rot.at[ib].add(jnp.where(updn, qB - rot[ib], 0.0))
+    return (dp, rot)
+
+
+def xpbd_pass(carry, mask, cons: JointCons, inv_h):
+    """XPBD scalar-distance projection (revolute_joint.c:825-888); mouse
+    joints fall through to the regular mouse solve in the XPBD loop
+    (joint.c:450-465), handled by the caller. carry = (dp, rot)."""
+    dp, rot = carry
+    ia, ib = cons.ia, cons.ib
+    dcA, dcB = dp[ia], dp[ib]
+    qA, qB = rot[ia], rot[ib]
+    mA, iA = cons.inv_mass_a, cons.inv_i_a
+    mB, iB = cons.inv_mass_b, cons.inv_i_b
+    rev = ~cons.is_mouse & cons.active & ((mA != 0.0) | (mB != 0.0))
+
+    rA = m.rotate(qA, cons.local_anchor_a)
+    rB = m.rotate(qB, cons.local_anchor_b)
+    separation = (dcB - dcA) + (rB - rA) + cons.center_diff0
+    c = m.length(separation)
+    n = m.normalize(separation)
+    rnA = m.cross(rA, n)
+    rnB = m.cross(rB, n)
+    kA = mA + iA * rnA**2
+    kB = mB + iB * rnB**2
+    denom = kA + kB
+    lam = jnp.where(denom > 0.0, -c / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+    lam = jnp.where(rev, lam, 0.0)
+    P = lam[:, None] * n
+
+    dcA = dcA - mA[:, None] * P
+    qA = m.integrate_rot(qA, -iA * m.cross(rA, P))
+    dcB = dcB + mB[:, None] * P
+    qB = m.integrate_rot(qB, iB * m.cross(rB, P))
+
+    upd = mask & rev
+    updn = upd[:, None]
+    dp = dp.at[ia].add(jnp.where(updn, dcA - dp[ia], 0.0))
+    dp = dp.at[ib].add(jnp.where(updn, dcB - dp[ib], 0.0))
+    rot = rot.at[ia].add(jnp.where(updn, qA - rot[ia], 0.0))
+    rot = rot.at[ib].add(jnp.where(updn, qB - rot[ib], 0.0))
+    return (dp, rot)
+
+
+def store_impulses(joints: Joints, cons: JointCons, imp: JointImp) -> Joints:
+    import dataclasses
+
+    a = cons.active
+    return dataclasses.replace(
+        joints,
+        impulse=jnp.where(a[:, None], imp.impulse, joints.impulse),
+        motor_impulse=jnp.where(a, imp.motor, joints.motor_impulse),
+        lower_impulse=jnp.where(a, imp.lower, joints.lower_impulse),
+        upper_impulse=jnp.where(a, imp.upper, joints.upper_impulse),
+    )

@@ -1,0 +1,494 @@
+"""The ten solver step scripts.
+
+Each function reproduces one reference solver's iteration structure exactly
+(files cited per function), recast as jit-compatible loops: `fori_loop` over
+velocity iterations / substeps, colored constraint passes inside, shared
+prepare/warm-start/integrate/finalize kernels from `common`.
+
+Signature: solve(bodies, contacts, joints, ccolor, jcolor, gravity, dt,
+config) -> (bodies, contacts, joints). Solver choice and iteration counts are
+static (from SimConfig), so each solver compiles to its own specialized
+program — the analog of the reference's `switch (solverType)` dispatch
+(reference: src/world.c:206-257).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CONTACT_HERTZ, JOINT_HERTZ, SimConfig, SolverType
+from ..ops import math2d as m
+from ..state import Bodies, Contacts, Joints
+from . import contact_kernels as ck
+from . import joints as jk
+from .common import (
+    colored_pass,
+    finalize_positions,
+    integrate_positions,
+    integrate_velocities,
+    ngs_pass,
+    prepare_contacts,
+    store_impulses,
+    warm_start,
+)
+
+# carry layout threaded through all loops
+# (v, w, delta_pos, rot, n_imp, t_imp, joint_imp)
+
+
+def _contact_gs(st, ccolor, cfg, cons, mode, inv_h, use_bias):
+    v, w, dp, rot, n, t, jimp = st
+    v, w, dp, rot, n, t = colored_pass(
+        cfg.max_colors, ccolor,
+        lambda c, msk: ck.gs_contact_pass(c, msk, cons, mode, inv_h, use_bias),
+        (v, w, dp, rot, n, t),
+    )
+    return (v, w, dp, rot, n, t, jimp)
+
+
+def _joint_gs(st, jcolor, cfg, jcons, mode, h, inv_h, use_bias, inertia, solve_mouse=True, only_mouse=False):
+    v, w, dp, rot, n, t, jimp = st
+    v, w, dp, rot, jimp = colored_pass(
+        cfg.joint_max_colors, jcolor,
+        lambda c, msk: jk.solve_pass(c, msk, jcons, mode, h, inv_h, use_bias, inertia, solve_mouse, only_mouse),
+        (v, w, dp, rot, jimp),
+    )
+    return (v, w, dp, rot, n, t, jimp)
+
+
+def _joint_warm(st, jcolor, cfg, jcons):
+    v, w, dp, rot, n, t, jimp = st
+    v, w, dp, rot = colored_pass(
+        cfg.joint_max_colors, jcolor,
+        lambda c, msk: jk.warm_start_pass(c, msk, jcons, jimp),
+        (v, w, dp, rot),
+    )
+    return (v, w, dp, rot, n, t, jimp)
+
+
+def _joint_ngs(st, jcolor, cfg, jcons):
+    v, w, dp, rot, n, t, jimp = st
+    dp, rot = colored_pass(
+        cfg.joint_max_colors, jcolor,
+        lambda c, msk: jk.position_pass(c, msk, jcons),
+        (dp, rot),
+    )
+    return (v, w, dp, rot, n, t, jimp)
+
+
+def _contact_ngs(st, ccolor, cfg, cons):
+    v, w, dp, rot, n, t, jimp = st
+    dp, rot = colored_pass(
+        cfg.max_colors, ccolor, lambda c, msk: ngs_pass(c[0], c[1], cons, msk), (dp, rot)
+    )
+    return (v, w, dp, rot, n, t, jimp)
+
+
+def _init(bodies: Bodies):
+    return bodies.v, bodies.w, bodies.delta_pos, bodies.rot
+
+
+def _finish(bodies, contacts, joints, cons, jcons, st):
+    v, w, dp, rot, n, t, jimp = st
+    bodies = finalize_positions(bodies, dp, rot, v, w)
+    contacts = store_impulses(contacts, cons, n, t)
+    joints = jk.store_impulses(joints, jcons, jimp)
+    return bodies, contacts, joints
+
+
+def solve_pgs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_pgs.c:125-213 (box2d_lite style)."""
+    h, inv_h = dt, jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    v, w, dp, rot = _init(bodies)
+    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    st = (v, w, dp, rot, n, t, jimp)
+    if cfg.warm_start:
+        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
+        st = (v, w) + st[2:]
+        st = _joint_warm(st, jcolor, cfg, jcons)
+
+    def it(_, st):
+        st = _joint_gs(st, jcolor, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_BAUMGARTE, inv_h, True)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
+    st = st[:2] + (dp, rot2) + st[4:]
+    return _finish(bodies, contacts, joints, cons, jcons, st)
+
+
+def solve_pgs_ngs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_pgs_ngs.c:149-255."""
+    h, inv_h = dt, jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    v, w, dp, rot = _init(bodies)
+    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    st = (v, w, dp, rot, n, t, jimp)
+    if cfg.warm_start:
+        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
+        st = (v, w) + st[2:]
+        st = _joint_warm(st, jcolor, cfg, jcons)
+
+    def it(_, st):
+        st = _joint_gs(st, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_PLAIN, inv_h, True)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
+    st = st[:2] + (dp, rot2) + st[4:]
+
+    def pos_it(_, st):
+        st = _joint_ngs(st, jcolor, cfg, jcons)
+        st = _contact_ngs(st, ccolor, cfg, cons)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.extra_iterations, pos_it, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st)
+
+
+def solve_pgs_ngs_block(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_pgs_ngs_block.c:892-963 (the default solver)."""
+    h = dt
+    inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    v, w, dp, rot = _init(bodies)
+    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    vbias, kmat, bmass, use_block, pmask_eff = ck.prepare_block(cons, inv_h)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    st = (v, w, dp, rot, n, t, jimp)
+    # warm start is applied unconditionally inside solver creation
+    # (block.c:281-319); impulses are zero when warm_start is off
+    v, w = warm_start(st[0], st[1], cons, n, t, fixed_anchors=True)
+    st = (v, w) + st[2:]
+    st = _joint_warm(st, jcolor, cfg, jcons)
+
+    def it(_, st):
+        st = _joint_gs(st, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        v, w, dp, rot, n, t, jimp = st
+        v, w, dp, rot, n, t = colored_pass(
+            cfg.max_colors, ccolor,
+            lambda c, msk: ck.block_velocity_pass(c, msk, cons, vbias, kmat, bmass, use_block, pmask_eff),
+            (v, w, dp, rot, n, t),
+        )
+        return (v, w, dp, rot, n, t, jimp)
+
+    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
+    st = st[:2] + (dp, rot2) + st[4:]
+
+    def pos_it(_, st):
+        v, w, dp, rot, n, t, jimp = st
+        dp, rot = colored_pass(
+            cfg.max_colors, ccolor,
+            lambda c, msk: ck.block_position_pass(c, msk, cons, use_block),
+            (dp, rot),
+        )
+        st = (v, w, dp, rot, n, t, jimp)
+        st = _joint_ngs(st, jcolor, cfg, jcons)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.extra_iterations, pos_it, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st)
+
+
+def solve_pgs_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_pgs_soft.c:127-242."""
+    h = dt
+    inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.333 * inv_h)
+    joint_hertz = jnp.minimum(JOINT_HERTZ, 0.5 * inv_h)
+    v, w, dp, rot = _init(bodies)
+    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
+    st = (v, w, dp, rot, n, t, jimp)
+    if cfg.warm_start:
+        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
+        st = (v, w) + st[2:]
+        st = _joint_warm(st, jcolor, cfg, jcons)
+
+    def it(_, st):
+        st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_SOFT, inv_h, True)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
+    st = st[:2] + (dp, rot2) + st[4:]
+
+    def relax_it(_, st):
+        st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
+        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_SOFT, inv_h, False)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.extra_iterations, relax_it, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st)
+
+
+def solve_jacobi(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_jacobi.c:134-292. Contacts solved Jacobi (deltas
+    accumulated, applied per iteration); joints stay Gauss-Seidel."""
+    h = dt
+    inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.333 * inv_h)
+    joint_hertz = jnp.minimum(JOINT_HERTZ, 0.5 * inv_h)
+    v, w, dp, rot = _init(bodies)
+    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
+    st = (v, w, dp, rot, n, t, jimp)
+    if cfg.warm_start:
+        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
+        st = (v, w) + st[2:]
+        st = _joint_warm(st, jcolor, cfg, jcons)
+
+    dyn = (bodies.type == 2) & bodies.alive
+
+    def it_factory(use_bias):
+        def it(_, st):
+            st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, use_bias, bodies.inertia, solve_mouse=use_bias)
+            v, w, dp, rot, n, t, jimp = st
+            v, w, n, t = ck.jacobi_contact_pass(v, w, dp, rot, cons, n, t, ck.JACOBI_SOFT, inv_h, use_bias, dyn)
+            return (v, w, dp, rot, n, t, jimp)
+
+        return it
+
+    st = jax.lax.fori_loop(0, cfg.iterations, it_factory(True), st)
+    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
+    st = st[:2] + (dp, rot2) + st[4:]
+    st = jax.lax.fori_loop(0, cfg.extra_iterations, it_factory(False), st)
+    return _finish(bodies, contacts, joints, cons, jcons, st)
+
+
+def _substep_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg, mode, joint_hertz_factor, fixed_warm):
+    """Shared skeleton of TGS_Soft (solve_tgs_soft.c:138-280) and SoftStep
+    (solve_soft_step.c:182-311): prepare once, then per substep integrate
+    velocities -> warm start -> biased solve -> integrate positions -> relax.
+    """
+    h = dt / cfg.iterations
+    inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
+    contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.25 * inv_h)
+    joint_hertz = jnp.minimum(JOINT_HERTZ, joint_hertz_factor * inv_h)
+
+    v, w, dp, rot = _init(bodies)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=True)
+    st = (v, w, dp, rot, n, t, jimp)
+
+    def substep(_, st):
+        v, w, dp, rot, n, t, jimp = st
+        v, w = integrate_velocities(bodies, v, w, gravity, h)
+        st = (v, w, dp, rot, n, t, jimp)
+        if cfg.warm_start:
+            st = _joint_warm(st, jcolor, cfg, jcons)
+            v, w, dp, rot, n, t, jimp = st
+            v, w = warm_start(v, w, cons, n, t, rot=rot, fixed_anchors=fixed_warm)
+            st = (v, w, dp, rot, n, t, jimp)
+        st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, ccolor, cfg, cons, mode, inv_h, True)
+        v, w, dp, rot, n, t, jimp = st
+        dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
+        st = (v, w, dp, rot, n, t, jimp)
+        if cfg.extra_iterations > 0:
+            st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
+            st = _contact_gs(st, ccolor, cfg, cons, mode, inv_h, False)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st)
+
+
+def solve_tgs_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg):
+    """reference: src/solve_tgs_soft.c:138-280 (became Box2D v3's solver)."""
+    return _substep_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg, ck.TGS_SOFT, 0.125, fixed_warm=False)
+
+
+def solve_soft_step(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg):
+    """reference: src/solve_soft_step.c:182-311 (TGS_Soft with fixed anchors)."""
+    return _substep_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg, ck.SOFT_STEP, 0.25, fixed_warm=True)
+
+
+def solve_tgs_ngs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_tgs_ngs.c:207-317."""
+    h = dt / cfg.iterations
+    inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
+    v, w, dp, rot = _init(bodies)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    st = (v, w, dp, rot, n, t, jimp)
+
+    def substep(_, st):
+        v, w, dp, rot, n, t, jimp = st
+        v, w = integrate_velocities(bodies, v, w, gravity, h)
+        st = (v, w, dp, rot, n, t, jimp)
+        if cfg.warm_start:
+            st = _joint_warm(st, jcolor, cfg, jcons)
+            v, w, dp, rot, n, t, jimp = st
+            v, w = warm_start(v, w, cons, n, t, rot=rot)
+            st = (v, w, dp, rot, n, t, jimp)
+        st = _joint_gs(st, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, ccolor, cfg, cons, ck.TGS_RIGID, inv_h, True)
+        v, w, dp, rot, n, t, jimp = st
+        dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
+        st = (v, w, dp, rot, n, t, jimp)
+        st = _joint_ngs(st, jcolor, cfg, jcons)
+        st = _contact_ngs(st, ccolor, cfg, cons)
+        return st
+
+    st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st)
+
+
+def solve_tgs_sticky(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_tgs_sticky.c:313-417. No warm starting; persistent
+    friction anchors; relax iterations AFTER positions are finalized."""
+    h = dt / cfg.iterations
+    inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
+    v, w, dp, rot = _init(bodies)
+    # sticky has no warm starting for contacts (sticky.c:59-60)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=False)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
+    lfa, lfb, tsep, stm, fric_store = ck.prepare_sticky(bodies.position, contacts, cons, bodies.rot)
+    fric_persisted = jnp.ones_like(cons.active)
+
+    def sticky_gs(st, use_bias):
+        v, w, dp, rot, n, t, jimp, fp = st
+        v, w, dp, rot, n, t, fp = colored_pass(
+            cfg.max_colors, ccolor,
+            lambda c, msk: ck.sticky_velocity_pass(c, msk, cons, lfa, lfb, tsep, stm, inv_h, use_bias),
+            (v, w, dp, rot, n, t, fp),
+        )
+        return (v, w, dp, rot, n, t, jimp, fp)
+
+    st = (v, w, dp, rot, n, t, jimp, fric_persisted)
+
+    def substep(_, st):
+        v, w, dp, rot, n, t, jimp, fp = st
+        v, w = integrate_velocities(bodies, v, w, gravity, h)
+        st7 = (v, w, dp, rot, n, t, jimp)
+        st7 = _joint_gs(st7, jcolor, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
+        st = st7 + (fp,)
+        st = sticky_gs(st, True)
+        v, w, dp, rot, n, t, jimp, fp = st
+        dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
+        return (v, w, dp, rot, n, t, jimp, fp)
+
+    st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
+
+    # finalize positions, then relax with zeroed deltas (sticky.c:389-410)
+    v, w, dp, rot, n, t, jimp, fp = st
+    bodies_out = finalize_positions(bodies, dp, rot, v, w)
+    dp0 = jnp.zeros_like(dp)
+    st = (v, w, dp0, rot, n, t, jimp, fp)
+
+    def relax(_, st):
+        v, w, dp, rot, n, t, jimp, fp = st
+        st7 = (v, w, dp, rot, n, t, jimp)
+        st7 = _joint_gs(st7, jcolor, cfg, jcons, "baumgarte", h, inv_h, False, bodies.inertia)
+        st = st7 + (fp,)
+        return sticky_gs(st, False)
+
+    st = jax.lax.fori_loop(0, cfg.extra_iterations, relax, st)
+    v, w, dp, rot, n, t, jimp, fp = st
+
+    bodies_out = dataclasses.replace(bodies_out, v=v, w=w)
+    contacts = store_impulses(contacts, cons, n, t)
+    fa_n, fb_n, faa, fab = fric_store
+    contacts = dataclasses.replace(
+        contacts,
+        friction_normal_a=fa_n, friction_normal_b=fb_n,
+        friction_anchor_a=faa, friction_anchor_b=fab,
+        friction_persisted=fp & cons.active,
+    )
+    joints = jk.store_impulses(joints, jcons, jimp)
+    return bodies_out, contacts, joints
+
+
+def solve_xpbd(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+    """reference: src/solve_xpbd.c:342-530 (Mueller et al. 2020)."""
+    h = dt / cfg.iterations
+    inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
+    v, w, dp, rot = _init(bodies)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=False)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
+
+    moving = bodies.alive & (bodies.type != 0)
+    dyn = bodies.alive & (bodies.type == 2)
+
+    def substep(_, st):
+        v, w, dp, rot, n, t, jimp = st
+        # integrate velocities AND positions immediately (xpbd.c:408-449)
+        v, w = integrate_velocities(bodies, v, w, gravity, h)
+        rot0 = rot
+        dp0 = dp
+        dp = jnp.where(moving[:, None], dp + h * v, dp)
+        rot = jnp.where(moving[:, None], m.integrate_rot(rot, h * w), rot)
+
+        # joint position projection (+ mouse velocity solve, joint.c:450-465)
+        dp, rot = colored_pass(
+            cfg.joint_max_colors, jcolor,
+            lambda c, msk: jk.xpbd_pass(c, msk, jcons, inv_h),
+            (dp, rot),
+        )
+        # mouse joints get their regular velocity solve here (joint.c:450-465)
+        st7 = (v, w, dp, rot, n, t, jimp)
+        st7 = _joint_gs(st7, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia, solve_mouse=True, only_mouse=True)
+        v, w, dp, rot, n, t, jimp = st7
+
+        # contact position projection
+        dp, rot, n, t = colored_pass(
+            cfg.max_colors, ccolor,
+            lambda c, msk: ck.xpbd_position_pass(c, msk, cons, h),
+            (dp, rot, n, t),
+        )
+
+        # derive velocities (xpbd.c:465-489)
+        v = jnp.where(dyn[:, None], inv_h * (dp - dp0), v)
+        w = jnp.where(dyn, m.compute_angular_velocity(rot0, rot, inv_h), w)
+
+        # relax contact velocities
+        v, w, dp, rot, n, t = colored_pass(
+            cfg.max_colors, ccolor,
+            lambda c, msk: ck.xpbd_velocity_pass(c, msk, cons, h, inv_h),
+            (v, w, dp, rot, n, t),
+        )
+        return (v, w, dp, rot, n, t, jimp)
+
+    st = jax.lax.fori_loop(0, cfg.iterations, substep, (v, w, dp, rot, n, t, jimp))
+    v, w, dp, rot, n, t, jimp = st
+
+    # finalize only dynamic bodies (xpbd.c:497-512)
+    position = jnp.where(dyn[:, None], bodies.position + dp, bodies.position)
+    origin = jnp.where(dyn[:, None], position - m.rotate(rot, bodies.local_center), bodies.origin)
+    bodies_out = dataclasses.replace(
+        bodies, position=position, origin=origin, rot=rot,
+        delta_pos=jnp.zeros_like(dp), delta_pos0=jnp.zeros_like(dp),
+        v=v, w=w, force=jnp.zeros_like(bodies.force), torque=jnp.zeros_like(bodies.torque),
+    )
+    # impulses stored scaled by inv_h for reporting only (xpbd.c:514-527)
+    contacts = store_impulses(contacts, cons, n * inv_h, t * inv_h)
+    joints = jk.store_impulses(joints, jcons, jimp)
+    return bodies_out, contacts, joints
+
+
+SOLVERS = {
+    SolverType.JACOBI: solve_jacobi,
+    SolverType.PGS: solve_pgs,
+    SolverType.PGS_NGS: solve_pgs_ngs,
+    SolverType.PGS_NGS_BLOCK: solve_pgs_ngs_block,
+    SolverType.PGS_SOFT: solve_pgs_soft,
+    SolverType.SOFT_STEP: solve_soft_step,
+    SolverType.TGS_STICKY: solve_tgs_sticky,
+    SolverType.TGS_SOFT: solve_tgs_soft,
+    SolverType.TGS_NGS: solve_tgs_ngs,
+    SolverType.XPBD: solve_xpbd,
+}

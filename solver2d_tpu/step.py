@@ -1,0 +1,179 @@
+"""The world step: one pure jitted function State -> State.
+
+Pipeline mirror of s2World_Step (reference: src/world.c:120-306):
+
+1. broadphase pair update + persistent contact matching  (Stage 1)
+2. batched narrowphase with warm-start id matching       (Stage 3a)
+3. constraint graph coloring (contacts + joints)
+4. solver dispatch (static on SimConfig.solver)          (Stage 3c)
+5. transform/AABB/fat-AABB update + diagnostics          (Stage 4)
+
+(The reference's Stage 2, tree rebuild, has no analog: sweep-and-prune
+re-sorts every step.)
+
+`make_step(config)` returns a jitted step(state, dt) specialized for the
+config; vmap/pjit wrappers live in `parallel/`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import SPECULATIVE_DISTANCE, SimConfig
+from .ops import broadphase, coloring, manifold
+from .ops import math2d as m
+from .ops.geometry import compute_aabbs
+from .solvers.loops import SOLVERS
+from .state import Contacts, Diagnostics, State
+
+
+def update_manifolds(state: State, contacts: Contacts) -> Contacts:
+    """Batched narrowphase over the contact table + warm-start id matching
+    (reference: src/contact.c:296-359)."""
+    shapes = state.shapes
+    bodies = state.bodies
+    sa, sb = contacts.shape_a, contacts.shape_b
+
+    out = jax.vmap(manifold.collide)(
+        shapes.verts[sa], shapes.normals[sa], shapes.count[sa], shapes.radius[sa],
+        shapes.verts[sb], shapes.normals[sb], shapes.count[sb], shapes.radius[sb],
+        bodies.origin[contacts.body_a], bodies.rot[contacts.body_a],
+        bodies.origin[contacts.body_b], bodies.rot[contacts.body_b],
+        contacts.cache_count, contacts.cache_index_a, contacts.cache_index_b,
+    )
+
+    alive = contacts.alive
+    new_count = jnp.where(alive, out.point_count, 0)
+
+    # old->new point id matching for impulse transfer (contact.c:328-358)
+    old_ids = contacts.point_id          # [C,2]
+    old_pmask = jnp.arange(2)[None, :] < contacts.point_count[:, None]
+    new_ids = out.point_id
+    new_pmask = jnp.arange(2)[None, :] < new_count[:, None]
+
+    # match[i,j] = new point i matches old point j
+    eq = (new_ids[:, :, None] == old_ids[:, None, :]) & old_pmask[:, None, :] & new_pmask[:, :, None]
+    matched = eq.any(-1)
+    # index of matching old point (first match)
+    old_j = jnp.argmax(eq, axis=-1)  # [C,2]
+
+    def take(old_arr):
+        return jnp.take_along_axis(old_arr, old_j, axis=1)
+
+    n_imp = jnp.where(matched, take(contacts.normal_impulse), 0.0)
+    t_imp = jnp.where(matched, take(contacts.tangent_impulse), 0.0)
+
+    def take2(old_arr):  # [C,2,2] fields
+        return jnp.take_along_axis(old_arr, old_j[:, :, None], axis=1)
+
+    fna = jnp.where(matched[..., None], take2(contacts.friction_normal_a), contacts.friction_normal_a)
+    fnb = jnp.where(matched[..., None], take2(contacts.friction_normal_b), contacts.friction_normal_b)
+    faa = jnp.where(matched[..., None], take2(contacts.friction_anchor_a), contacts.friction_anchor_a)
+    fab = jnp.where(matched[..., None], take2(contacts.friction_anchor_b), contacts.friction_anchor_b)
+
+    friction_persisted = (
+        (new_count == contacts.point_count)
+        & (matched | ~new_pmask).all(-1)
+        & alive
+    )
+
+    return dataclasses.replace(
+        contacts,
+        normal=jnp.where(alive[:, None], out.normal, contacts.normal),
+        anchor_a=jnp.where(alive[:, None, None], out.anchor_a, contacts.anchor_a),
+        anchor_b=jnp.where(alive[:, None, None], out.anchor_b, contacts.anchor_b),
+        separation=jnp.where(alive[:, None], out.separation, contacts.separation),
+        normal_impulse=n_imp,
+        tangent_impulse=t_imp,
+        point_id=jnp.where(alive[:, None], new_ids, contacts.point_id),
+        persisted=matched,
+        point_count=new_count,
+        friction_normal_a=fna, friction_normal_b=fnb,
+        friction_anchor_a=faa, friction_anchor_b=fab,
+        friction_persisted=friction_persisted,
+        cache_count=jnp.where(alive, out.cache_count, contacts.cache_count),
+        cache_index_a=jnp.where(alive[:, None], out.cache_ia, contacts.cache_index_a),
+        cache_index_b=jnp.where(alive[:, None], out.cache_ib, contacts.cache_index_b),
+    )
+
+
+def step(state: State, dt, config: SimConfig) -> State:
+    """One simulation step. `config` must be static under jit."""
+    shapes = state.shapes
+    bodies = state.bodies
+
+    # Stage 1: pair update using last step's fat AABBs
+    shape_body_type = jnp.where(shapes.alive, bodies.type[shapes.body], 0)
+    jointed = broadphase.jointed_body_keys(state.joints, config)
+    pairs = broadphase.find_pairs(shapes, bodies.type, jointed, config)
+    contacts = broadphase.match_contacts(state.contacts, pairs, shapes, bodies.type, shapes.body)
+
+    # Stage 3a: narrowphase
+    contacts = update_manifolds(state, contacts)
+
+    # coloring (contacts and joints separately; they solve in separate passes)
+    dyn_mask = (bodies.type == 2) & bodies.alive
+    touching = contacts.alive & (contacts.point_count > 0)
+    ccolor, c_overflow = coloring.color_graph(
+        contacts.body_a, contacts.body_b, touching, dyn_mask, config.max_bodies, config.max_colors
+    )
+    jcolor, j_overflow = coloring.color_graph(
+        state.joints.body_a, state.joints.body_b, state.joints.alive, dyn_mask,
+        config.max_bodies, config.joint_max_colors,
+    )
+
+    # Stage 3c: solve
+    solver_fn = SOLVERS[config.solver]
+    new_bodies, contacts, joints = solver_fn(
+        bodies, contacts, state.joints, ccolor, jcolor, state.gravity, jnp.float32(dt), config
+    )
+
+    # Stage 4: AABB + fat AABB hysteresis update
+    aabbs = compute_aabbs(
+        shapes.verts, shapes.normals, shapes.count, shapes.radius,
+        new_bodies.origin[shapes.body], new_bodies.rot[shapes.body],
+    )
+    aabbs = aabbs + jnp.array([-1.0, -1.0, 1.0, 1.0], jnp.float32) * SPECULATIVE_DISTANCE
+    fat = broadphase.update_fat_aabbs(shapes, aabbs, shape_body_type)
+    new_shapes = dataclasses.replace(shapes, aabb=aabbs, fat_aabb=fat)
+
+    pen = jnp.where(
+        touching[:, None] & (jnp.arange(2)[None, :] < contacts.point_count[:, None]),
+        -contacts.separation, 0.0,
+    )
+    diag = Diagnostics(
+        contact_count=touching.sum().astype(jnp.int32),
+        pair_count=pairs.count.astype(jnp.int32),
+        pair_overflow=pairs.overflow,
+        color_overflow=c_overflow.astype(jnp.int32) + j_overflow.astype(jnp.int32),
+        max_penetration=pen.max(),
+        step_id=state.diag.step_id + 1,
+    )
+
+    return State(
+        bodies=new_bodies,
+        shapes=new_shapes,
+        contacts=contacts,
+        joints=joints,
+        gravity=state.gravity,
+        diag=diag,
+    )
+
+
+def make_step(config: SimConfig):
+    """Returns step(state, dt) jitted and specialized for `config`."""
+    return jax.jit(partial(step, config=config))
+
+
+def run(state: State, config: SimConfig, steps: int, dt=1.0 / 60.0):
+    """Convenience: scan `steps` steps (compiled once)."""
+
+    def body(s, _):
+        return step(s, dt, config), None
+
+    out, _ = jax.lax.scan(body, state, None, length=steps)
+    return out

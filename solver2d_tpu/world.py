@@ -189,6 +189,28 @@ class World:
         w = b.def_.angular_velocity
         b.linear_velocity = b.linear_velocity + w * np.array([-delta_center[1], delta_center[0]])
 
+    # --- body helpers ---
+
+    def apply_linear_impulse(self, body: int, impulse, point):
+        """Build-time impulse application (reference: src/body.c:316-384)."""
+        b = self.bodies[body]
+        if b.mass <= 0.0:
+            return
+        impulse = np.asarray(impulse, np.float64)
+        point = np.asarray(point, np.float64)
+        rot = _rot_of(b.def_.angle)
+        com = np.asarray(b.def_.position, np.float64) + _rotate(rot, b.local_center)
+        b.linear_velocity = b.linear_velocity + impulse / b.mass
+        r = point - com
+        b.def_.angular_velocity += (r[0] * impulse[1] - r[1] * impulse[0]) / b.inertia
+
+    def get_local_point(self, body: int, world_point):
+        """World point -> body origin frame (s2Body_GetLocalPoint)."""
+        return _inv_transform(self.bodies[body], world_point)
+
+    def body_position(self, body: int):
+        return np.asarray(self.bodies[body].def_.position, np.float64)
+
     # --- joints (reference: src/joint.c:154-223) ---
 
     def create_revolute_joint(
