@@ -1,0 +1,67 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+North star (BASELINE.md): 4096 vmapped worlds of a 2k-body pyramid at
+>= 10k world-steps/sec/chip on TPU v5e. This harness measures batched
+world-steps/sec on the largest configuration that fits; env vars override:
+  S2_BENCH_WORLDS, S2_BENCH_BASE, S2_BENCH_STEPS, S2_BENCH_SOLVER
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from solver2d_tpu.config import SolverType
+    from solver2d_tpu.models.contact_scenes import pyramid_world
+    from solver2d_tpu.parallel import batched_step, replicate_state
+
+    worlds = int(os.environ.get("S2_BENCH_WORLDS", "1024"))
+    base = int(os.environ.get("S2_BENCH_BASE", "62"))  # base 62 -> 1953 bodies (~2k)
+    steps = int(os.environ.get("S2_BENCH_STEPS", "30"))
+    solver = SolverType[os.environ.get("S2_BENCH_SOLVER", "TGS_SOFT")]
+
+    w, ids = pyramid_world(solver, base_count=base)
+    n_bodies = len(ids) + 1
+    # pyramid contact count ~= 3 per box; modest headroom
+    state, cfg = w.freeze(
+        max_contacts=((4 * len(ids) + 127) // 128) * 128,
+        sap_window=24,
+        max_colors=16,
+    )
+
+    stepf = batched_step(cfg)
+    batch = replicate_state(state, worlds)
+
+    dt = jnp.float32(1.0 / 60.0)
+    # compile + warmup
+    batch = stepf(batch, dt)
+    jax.block_until_ready(batch)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        batch = stepf(batch, dt)
+    jax.block_until_ready(batch)
+    elapsed = time.perf_counter() - t0
+
+    world_steps_per_sec = worlds * steps / elapsed
+    target = 10000.0
+    print(
+        json.dumps(
+            {
+                "metric": f"world-steps/sec, {worlds} worlds x {n_bodies}-body pyramid ({solver.name})",
+                "value": round(world_steps_per_sec, 1),
+                "unit": "world-steps/sec",
+                "vs_baseline": round(world_steps_per_sec / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -227,7 +227,7 @@ def colored_pass(n_colors: int, color, solve_fn, carry):
     def body(k, carry):
         return solve_fn(carry, color == k)
 
-    return jax.lax.fori_loop(0, n_colors, body, carry, unroll=True)
+    return jax.lax.fori_loop(0, n_colors, body, carry)
 
 
 # ------------------------------------------------------------ NGS positions

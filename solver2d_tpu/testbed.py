@@ -1,0 +1,128 @@
+"""Headless testbed CLI — the samples app without GLFW/ImGui.
+
+Replaces reference: samples/main.cpp + sample.cpp: runs the SAME scene under
+up to 10 solvers simultaneously (one world per solver, main.cpp:705-711),
+steps them in lockstep, prints the per-solver stats overlay
+(sample.cpp:144-156), and optionally renders the overlaid multi-solver frames
+(draw.py reproduces the color legend).
+
+Usage:
+  python -m solver2d_tpu.testbed --list
+  python -m solver2d_tpu.testbed "Contact/Pyramid" --solvers TGS_SOFT,PGS --steps 240
+  python -m solver2d_tpu.testbed "Joints/Bridge" --solvers all --render out.png
+
+Settings mirror samples/settings.h:16-24 defaults: 60 Hz, 4 primary
+iterations, 2 secondary, warm starting on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from .config import SimConfig, SolverType
+from .models import SCENES, build, scene_names
+from .step import make_step
+from .utils.metrics import statistics
+
+
+def run_scene(
+    category: str,
+    name: str,
+    solvers: list[SolverType],
+    steps: int = 240,
+    hertz: float = 60.0,
+    iterations: int = 4,
+    extra_iterations: int = 2,
+    warm_start: bool = True,
+    render: str | None = None,
+    render_every: int = 0,
+    verbose: bool = True,
+):
+    dt = 1.0 / hertz if hertz > 0 else 0.0
+    runs = {}
+    for solver in solvers:
+        scene = build(category, name, solver)
+        state, cfg = scene.freeze(
+            iterations=iterations, extra_iterations=extra_iterations, warm_start=warm_start
+        )
+        stepf = make_step(cfg)
+        runs[solver] = dict(scene=scene, state=state, cfg=cfg, stepf=stepf, ms=0.0)
+
+    for i in range(steps):
+        for solver, r in runs.items():
+            state = r["state"]
+            scene = r["scene"]
+            if scene.pre_step is not None:
+                state = scene.pre_step(state)
+            if scene.on_step is not None:
+                new = scene.on_step(state, i)
+                if new is not None:
+                    state = new
+            t0 = time.perf_counter()
+            state = r["stepf"](state, dt)
+            state.bodies.position.block_until_ready()
+            r["ms"] += 1e3 * (time.perf_counter() - t0)
+            r["state"] = state
+        if render and render_every and (i + 1) % render_every == 0:
+            _render(runs, f"{render}.{i+1:05d}.png", f"{category}/{name} step {i+1}")
+
+    if verbose:
+        print(f"=== {category}/{name} after {steps} steps (dt={dt:.5f}) ===")
+        print(f"{'solver':15s} {'ms/step':>8s} {'bodies':>7s} {'contacts':>8s} {'pen(max)':>9s} {'KE':>12s} {'overflow':>8s}")
+        for solver, r in runs.items():
+            st = statistics(r["state"])
+            print(
+                f"{solver.name:15s} {r['ms']/steps:8.2f} {st.body_count:7d} {st.contact_count:8d}"
+                f" {st.max_penetration:9.4f} {st.kinetic_energy:12.3f} {st.color_overflow:8d}"
+            )
+    if render and not render_every:
+        _render(runs, f"{render}", f"{category}/{name} step {steps}")
+    return runs
+
+
+def _render(runs, path, title):
+    from .utils.draw import render_states
+
+    render_states({s.name: r["state"] for s, r in runs.items()}, path=path, title=title)
+    print(f"wrote {path}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("scene", nargs="?", help="Category/Name, e.g. 'Contact/Pyramid'")
+    p.add_argument("--list", action="store_true", help="list the scene catalog")
+    p.add_argument("--solvers", default="PGS_NGS_BLOCK", help="comma list or 'all'")
+    p.add_argument("--steps", type=int, default=240)
+    p.add_argument("--hertz", type=float, default=60.0)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--extra-iters", type=int, default=2)
+    p.add_argument("--no-warm-start", action="store_true")
+    p.add_argument("--render", default=None, help="output PNG path")
+    p.add_argument("--render-every", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.list or not args.scene:
+        for cat, name in scene_names():
+            print(f"{cat}/{name}")
+        return 0
+
+    category, name = args.scene.split("/", 1)
+    if args.solvers == "all":
+        solvers = list(SolverType)
+    else:
+        solvers = [SolverType[s.strip()] for s in args.solvers.split(",")]
+    run_scene(
+        category, name, solvers,
+        steps=args.steps, hertz=args.hertz,
+        iterations=args.iters, extra_iterations=args.extra_iters,
+        warm_start=not args.no_warm_start,
+        render=args.render, render_every=args.render_every,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,71 @@
+"""Statistics and observability (analog of s2Statistics,
+reference: include/solver2d/timer.h:8-17, src/world.c:565-579, plus
+physics-health metrics used by the scene parity tests)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..state import State
+
+
+@dataclasses.dataclass
+class Statistics:
+    body_count: int
+    shape_count: int
+    contact_count: int
+    joint_count: int
+    pair_count: int
+    max_penetration: float
+    kinetic_energy: float
+    color_overflow: int
+    pair_overflow: bool
+    step_id: int
+
+
+def statistics(state: State) -> Statistics:
+    """Host-side pull of the per-step counters (one device_get)."""
+    b = state.bodies
+    ke = kinetic_energy(state)
+    return Statistics(
+        body_count=int(b.alive.sum()),
+        shape_count=int(state.shapes.alive.sum()),
+        contact_count=int(state.diag.contact_count),
+        joint_count=int(state.joints.alive.sum()),
+        pair_count=int(state.diag.pair_count),
+        max_penetration=float(state.diag.max_penetration),
+        kinetic_energy=float(ke),
+        color_overflow=int(state.diag.color_overflow),
+        pair_overflow=bool(state.diag.pair_overflow),
+        step_id=int(state.diag.step_id),
+    )
+
+
+def kinetic_energy(state: State):
+    """Total KE (jittable) — the energy-gain metric for relax-pass parity."""
+    b = state.bodies
+    dyn = (b.type == 2) & b.alive
+    lin = 0.5 * b.mass * (b.v**2).sum(-1)
+    ang = 0.5 * b.inertia * b.w**2
+    return jnp.where(dyn, lin + ang, 0.0).sum()
+
+
+def max_penetration(state: State):
+    return state.diag.max_penetration
+
+
+def joint_error(state: State):
+    """Max point-to-point joint separation (jittable) — the joint-stretch
+    metric for Joint Grid / Bridge parity envelopes."""
+    from ..ops import math2d as m
+
+    j = state.joints
+    b = state.bodies
+    ia, ib = j.body_a, j.body_b
+    pa = b.origin[ia] + m.rotate(b.rot[ia], j.local_anchor_a)
+    pb = b.origin[ib] + m.rotate(b.rot[ib], j.local_anchor_b)
+    err = jnp.linalg.norm(pb - pa, axis=-1)
+    rev = j.alive & (j.type == 0)
+    return jnp.where(rev, err, 0.0).max()
