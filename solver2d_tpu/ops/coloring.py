@@ -6,18 +6,22 @@ its `B2_GRAPH_COLOR` flag (src/world.h:12) signals the intended parallel
 design that this module makes real: constraints are partitioned into colors
 such that no two constraints in a color share a *dynamic* body; each GS
 iteration then becomes a loop over colors where every color solves all its
-constraints in parallel with disjoint scatter-writes (bitwise-equal to some
-sequential ordering within the iteration).
+constraints in parallel with disjoint scatter-writes (equivalent to a
+sequential sweep in some order within the iteration).
 
-Static/kinematic bodies are excluded from the conflict graph (their velocities
-never change), which bounds the needed color count by the dynamic-contact
-degree — e.g. a ground body touching hundreds of boxes does not serialize.
+Static/kinematic bodies are excluded from the conflict graph (their
+velocities never change), which bounds the needed color count by the
+dynamic-constraint degree — e.g. a ground body touching hundreds of boxes
+does not serialize.
 
-Deterministic: selection is by constraint index priority (min-index wins via
-scatter-min), so coloring is reproducible run to run. Constraints left over
-after max_colors-1 rounds land in the final bucket, which may have conflicts
-(scatter-add there makes it effectively Jacobi); the count is reported in
-diagnostics so scenes can raise max_colors.
+Algorithm: per color, a few rounds of deterministic Luby-style maximal-
+independent-set selection with *hashed* priorities (a Knuth multiplicative
+hash of the constraint index — unique, reproducible, and crucially not
+index-ordered: plain min-index selection degenerates to one constraint per
+color on chains like Bridge/Ball&Chain). Constraints still uncolored after
+max_colors-1 colors land in the final bucket, which may have conflicts
+(scatter-add there is effectively a Jacobi fallback); the count is reported
+in diagnostics so scenes can raise max_colors.
 """
 
 from __future__ import annotations
@@ -28,47 +32,52 @@ import jax.numpy as jnp
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
-def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_colors: int):
-    """Returns color i32 [N] in [0, max_colors); inactive constraints get
-    max_colors-1. Also returns overflow count (active constraints that
-    couldn't get a conflict-free color).
+def _hash_priority(idx):
+    """Unique deterministic pseudo-random priority per index (Knuth)."""
+    h = (idx * jnp.int32(-1640531527)) ^ (idx >> 7)  # 2654435761 wrapped
+    return jnp.bitwise_and(h, jnp.int32(0x7FFFFFFF))
+
+
+def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_colors: int, inner_rounds: int = 4):
+    """Returns (color i32 [N] in [0, max_colors), overflow count).
 
     body_a/body_b: i32 [N] endpoints; active: bool [N];
-    dynamic_mask: bool [B] whether each body is dynamic."""
+    dynamic_mask: bool [B]."""
     N = body_a.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
+    pri = _hash_priority(idx)
 
     dyn_a = dynamic_mask[body_a]
     dyn_b = dynamic_mask[body_b]
+    # non-dynamic endpoints point at a dummy sink slot
+    slot_a = jnp.where(dyn_a, body_a, num_bodies)
+    slot_b = jnp.where(dyn_b, body_b, num_bodies)
 
-    def round_fn(carry, _):
-        color, uncolored = carry
-        cand = uncolored & active
-        cand_idx = jnp.where(cand, idx, INT32_MAX)
+    def one_color(uncolored, _):
+        used0 = jnp.zeros((num_bodies + 1,), bool)
+        sel0 = jnp.zeros((N,), bool)
 
-        # min constraint index per dynamic body endpoint (slot num_bodies is a
-        # dummy sink for non-dynamic endpoints)
-        owner = jnp.full((num_bodies + 1,), INT32_MAX, jnp.int32)
-        owner = owner.at[jnp.where(dyn_a, body_a, num_bodies)].min(
-            jnp.where(dyn_a, cand_idx, INT32_MAX)
-        )
-        owner = owner.at[jnp.where(dyn_b, body_b, num_bodies)].min(
-            jnp.where(dyn_b, cand_idx, INT32_MAX)
-        )
+        def inner(carry, _):
+            used, selected = carry
+            elig = uncolored & active & ~selected & ~used[slot_a] & ~used[slot_b]
+            cand_pri = jnp.where(elig, pri, INT32_MAX)
+            owner = jnp.full((num_bodies + 1,), INT32_MAX, jnp.int32)
+            owner = owner.at[slot_a].min(cand_pri)
+            owner = owner.at[slot_b].min(cand_pri)
+            win = elig & (~dyn_a | (owner[slot_a] == pri)) & (~dyn_b | (owner[slot_b] == pri))
+            selected = selected | win
+            used = used.at[jnp.where(win & dyn_a, body_a, num_bodies)].max(win & dyn_a)
+            used = used.at[jnp.where(win & dyn_b, body_b, num_bodies)].max(win & dyn_b)
+            used = used.at[num_bodies].set(False)
+            return (used, selected), None
 
-        win_a = ~dyn_a | (owner[body_a] == idx)
-        win_b = ~dyn_b | (owner[body_b] == idx)
-        selected = cand & win_a & win_b
-        return (color, uncolored & ~selected), selected
+        (_, selected), _ = jax.lax.scan(inner, (used0, sel0), None, length=inner_rounds)
+        return uncolored & ~selected, selected
 
-    init = (jnp.zeros((N,), jnp.int32), jnp.ones((N,), bool))
-    (_, uncolored), selected_rounds = jax.lax.scan(
-        round_fn, init, None, length=max_colors - 1
-    )
-    # selected_rounds: [max_colors-1, N]
-    color = jnp.full((N,), max_colors - 1, jnp.int32)
+    uncolored0 = jnp.ones((N,), bool)
+    uncolored, selected_rounds = jax.lax.scan(one_color, uncolored0, None, length=max_colors - 1)
+    # selected_rounds: [max_colors-1, N]; each constraint in <= 1 round
     rounds = jnp.arange(max_colors - 1, dtype=jnp.int32)
-    # each constraint selected in at most one round
     sel_color = jnp.where(selected_rounds, rounds[:, None], max_colors - 1).min(axis=0)
     color = jnp.where(active, sel_color, max_colors - 1)
     overflow = (uncolored & active).sum()

@@ -39,9 +39,11 @@ def compute_hull(points) -> np.ndarray | None:
             while len(chain) >= 2:
                 a, b = chain[-2], chain[-1]
                 # keep strictly convex corners; collinear band like hull.c:186-196
-                cr = np.cross(b - a, p - a)
-                e = (p - a) / max(np.linalg.norm(p - a), 1e-12)
-                d = np.cross(b - a, e)
+                ab = b - a
+                ap = p - a
+                cr = ab[0] * ap[1] - ab[1] * ap[0]
+                e = ap / max(np.linalg.norm(ap), 1e-12)
+                d = ab[0] * e[1] - ab[1] * e[0]
                 if cr > 0.0 and d > 2.0 * LINEAR_SLOP:
                     break
                 chain.pop()

@@ -196,8 +196,8 @@ def _motor_limits(cons, imp, wA, wB, qA, qB, h, inv_h, mode: str, use_bias: bool
         elif mode == "soft":
             spec = C > 0.0
             bias = jnp.where(spec, C * inv_h, jnp.where(use_bias, cons.bias_coef * C, 0.0))
-            mass_scale = jnp.where(spec | ~use_bias, 1.0, cons.mass_coef)
-            imp_scale = jnp.where(spec | ~use_bias, 0.0, cons.imp_coef)
+            mass_scale = jnp.where(spec | (not use_bias), 1.0, cons.mass_coef)
+            imp_scale = jnp.where(spec | (not use_bias), 0.0, cons.imp_coef)
         else:  # baumgarte
             spec = C > 0.0
             bias = jnp.where(spec, C * inv_h, jnp.where(use_bias, BAUMGARTE * inv_h * C, 0.0))
