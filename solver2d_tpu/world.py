@@ -111,9 +111,14 @@ def _rotate(rot, v):
 class World:
     """Scene builder. One instance per scene; freeze() to simulate."""
 
-    def __init__(self, solver: SolverType = SolverType.PGS_NGS_BLOCK, gravity=(0.0, -10.0)):
+    def __init__(self, solver: SolverType = SolverType.PGS_NGS_BLOCK, gravity=(0.0, -10.0), defer_mass: bool = True):
+        """defer_mass: batch mass computation at freeze() (via the native C++
+        scene compiler when available) instead of incrementally per
+        create_shape — much faster for large scenes. Mass-dependent build-time
+        ops (apply_linear_impulse) force on-demand computation either way."""
         self.solver = solver
         self.gravity = np.asarray(gravity, np.float64)
+        self.defer_mass = defer_mass
         self.bodies: list[_Body] = []
         self.shapes: list[_Shape] = []
         self.joints: list[_Joint] = []
@@ -139,7 +144,7 @@ class World:
         idx = len(self.shapes) - 1
         b = self.bodies[body]
         b.shapes.append(idx)
-        if def_.density > 0.0:
+        if def_.density > 0.0 and not self.defer_mass:
             self._compute_mass(body)
         return idx
 
@@ -194,6 +199,8 @@ class World:
     def apply_linear_impulse(self, body: int, impulse, point):
         """Build-time impulse application (reference: src/body.c:316-384)."""
         b = self.bodies[body]
+        if self.defer_mass and b.mass == 0.0 and b.def_.type == BodyType.DYNAMIC:
+            self._compute_mass(body)
         if b.mass <= 0.0:
             return
         impulse = np.asarray(impulse, np.float64)
@@ -251,6 +258,53 @@ class World:
         self.joints.append(j)
         return len(self.joints) - 1
 
+    def _batch_compute_mass(self):
+        """Deferred mass computation for all dynamic bodies at freeze time —
+        via the native C++ scene compiler (csrc/s2native.cpp) when available,
+        else the per-body Python path. Applies the same COM-velocity fixup as
+        the incremental path (reference: src/body.c:215-217)."""
+        from . import native
+
+        pending = [
+            i for i, b in enumerate(self.bodies)
+            if b.def_.type == BodyType.DYNAMIC and b.mass == 0.0 and b.shapes
+        ]
+        if not pending:
+            return
+        if not native.available():
+            for i in pending:
+                self._compute_mass(i)
+            return
+
+        ns = len(self.shapes)
+        nb = len(self.bodies)
+        verts = np.stack([s.geom.verts for s in self.shapes]) if ns else np.zeros((0, 8, 2), np.float32)
+        normals = np.stack([s.geom.normals for s in self.shapes]) if ns else np.zeros((0, 8, 2), np.float32)
+        counts = np.array([s.geom.count for s in self.shapes], np.int32)
+        radii = np.array([s.geom.radius for s in self.shapes], np.float32)
+        densities = np.array([s.def_.density if s.alive else 0.0 for s in self.shapes], np.float32)
+        shape_body = np.array([s.body for s in self.shapes], np.int32)
+        body_origin = np.array([b.def_.position for b in self.bodies], np.float32).reshape(nb, 2)
+        body_angle = np.array([b.def_.angle for b in self.bodies], np.float32)
+        body_type = np.array([int(b.def_.type) for b in self.bodies], np.int32)
+
+        from .config import AABB_MARGIN, SPECULATIVE_DISTANCE
+
+        out = native.compile_scene(
+            verts, normals, counts, radii, densities, shape_body,
+            body_origin, body_angle, body_type, SPECULATIVE_DISTANCE, AABB_MARGIN,
+        )
+        for i in pending:
+            b = self.bodies[i]
+            b.mass = float(out["mass"][i])
+            b.inertia = float(out["inertia"][i])
+            old_center = b.local_center.copy()
+            b.local_center = out["local_center"][i].astype(np.float64)
+            rot = _rot_of(b.def_.angle)
+            delta_center = _rotate(rot, b.local_center - old_center)
+            w = b.def_.angular_velocity
+            b.linear_velocity = b.linear_velocity + w * np.array([-delta_center[1], delta_center[0]])
+
     # --- freeze ---
 
     def default_config(self, **overrides) -> SimConfig:
@@ -275,6 +329,9 @@ class World:
         assert config.max_bodies >= len(self.bodies)
         assert config.max_shapes >= len(self.shapes)
         assert config.max_joints >= len(self.joints)
+
+        if self.defer_mass:
+            self._batch_compute_mass()
 
         state = State.zeros(config)
         nb, ns, nj = len(self.bodies), len(self.shapes), len(self.joints)
