@@ -82,3 +82,28 @@ def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_color
     color = jnp.where(active, sel_color, max_colors - 1)
     overflow = (uncolored & active).sum()
     return color, overflow
+
+
+def build_body_map(body_a, body_b, color, active, write_a, write_b, num_bodies: int, max_colors: int):
+    """Per-body constraint lookup table: slot[b, k] = index of the (single)
+    color-k constraint that writes body b, or -1.
+
+    This is the key to scatter-free Gauss-Seidel on TPU: within a color every
+    dynamic body is touched by at most one constraint, so the velocity update
+    can be applied by a dense GATHER over bodies (fast, vectorized) instead of
+    a scatter over constraints (slow on TPU). One scatter builds the table per
+    step; every colored solve pass then only gathers.
+
+    The final color bucket may hold conflicting (overflow) constraints; there
+    last-writer-wins, so callers apply that bucket with the scatter path.
+
+    write_a/write_b: bool [N], whether the constraint writes that endpoint
+    (dynamic body; mouse joints never write body A)."""
+    N = body_a.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    slot = jnp.full((num_bodies + 1, max_colors), -1, jnp.int32)
+    ra = jnp.where(write_a & active, body_a, num_bodies)
+    rb = jnp.where(write_b & active, body_b, num_bodies)
+    slot = slot.at[rb, color].set(idx)
+    slot = slot.at[ra, color].set(idx)
+    return slot[:num_bodies]

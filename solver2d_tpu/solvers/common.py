@@ -217,24 +217,74 @@ def warm_start(v, w, cons: ContactCons, n_imp, t_imp, rot=None, fixed_anchors: b
 
 # ---------------------------------------------------------- colored GS driver
 
-def colored_pass(n_colors: int, color, solve_fn, carry):
-    """Run solve_fn once per color with mask = (color == k).
+from typing import NamedTuple as _NamedTuple
 
-    solve_fn(carry, mask[C]) -> carry. Within a color the constraints touch
-    disjoint dynamic bodies, so parallel gather/compute/scatter-add equals a
-    sequential Gauss-Seidel sweep."""
+
+class BodyMap(_NamedTuple):
+    """Scatter-free application table (see ops/coloring.py:build_body_map).
+
+    slot:   [B, n_colors] constraint index writing body b in color k (-1 none)
+    winner: [N] constraint actually owns its table entries (False only for
+            conflicting constraints in the overflow bucket — those are skipped
+            for the step and counted in diagnostics)."""
+
+    slot: jnp.ndarray
+    winner: jnp.ndarray
+
+
+def make_body_map(body_a, body_b, color, active, dyn_mask, num_bodies, n_colors, write_a_extra=None):
+    from ..ops.coloring import build_body_map
+
+    idx = jnp.arange(body_a.shape[0], dtype=jnp.int32)
+    dyn_a = dyn_mask[body_a]
+    dyn_b = dyn_mask[body_b]
+    write_a = dyn_a if write_a_extra is None else (dyn_a & write_a_extra)
+    write_b = dyn_b
+    slot = build_body_map(body_a, body_b, color, active, write_a, write_b, num_bodies, n_colors)
+    own_a = ~write_a | (slot[body_a, color] == idx)
+    own_b = ~write_b | (slot[body_b, color] == idx)
+    return BodyMap(slot=slot, winner=own_a & own_b)
+
+
+def _exp(mask, ndim):
+    return mask.reshape(mask.shape + (1,) * (ndim - 1))
+
+
+def gather_apply(slot_k, body_a, values_a, values_b, targets):
+    """Apply per-constraint endpoint values to per-body arrays by gathering.
+
+    slot_k: [B] constraint index for this color (-1 = untouched);
+    values_a/values_b: tuples of [C, ...] new values for endpoint A/B;
+    targets: tuple of [B, ...] arrays. Returns updated targets."""
+    B = targets[0].shape[0]
+    ci = jnp.maximum(slot_k, 0)
+    valid = slot_k >= 0
+    is_a = body_a[ci] == jnp.arange(B, dtype=body_a.dtype)
+    outs = []
+    for arr, da, db in zip(targets, values_a, values_b):
+        sel = jnp.where(_exp(is_a, arr.ndim), da[ci], db[ci])
+        outs.append(jnp.where(_exp(valid, arr.ndim), sel, arr))
+    return tuple(outs)
+
+
+def colored_pass(n_colors: int, solve_fn, carry):
+    """Run solve_fn once per color: solve_fn(carry, k) -> carry.
+
+    Within a color the constraints touch disjoint dynamic bodies, so the
+    gather-applied parallel solve equals a sequential Gauss-Seidel sweep."""
 
     def body(k, carry):
-        return solve_fn(carry, color == k)
+        return solve_fn(carry, k)
 
     return jax.lax.fori_loop(0, n_colors, body, carry)
 
 
 # ------------------------------------------------------------ NGS positions
 
-def ngs_pass(delta_pos, rot, cons: ContactCons, mask):
+def ngs_pass(delta_pos, rot, cons: ContactCons, k, bmap: "BodyMap"):
     """Nonlinear Gauss-Seidel position correction for one color
-    (reference: src/solve_common.c:328-394)."""
+    (reference: src/solve_common.c:328-394). Applied scatter-free via the
+    body map."""
     ia, ib = cons.ia, cons.ib
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
@@ -253,7 +303,7 @@ def ngs_pass(delta_pos, rot, cons: ContactCons, mask):
         K = mA + mB + iA * rnA**2 + iB * rnB**2
         impulse = jnp.where(K > 0.0, -C / jnp.where(K > 0.0, K, 1.0), 0.0)
         # NGS skips speculative points (solve_common.c:355-359)
-        ok = mask & cons.pmask[:, j] & (cons.separation[:, j] <= 0.0)
+        ok = cons.pmask[:, j] & (cons.separation[:, j] <= 0.0)
         impulse = jnp.where(ok, impulse, 0.0)
         P = impulse[:, None] * normal
         dcA = dcA - mA[:, None] * P
@@ -261,11 +311,9 @@ def ngs_pass(delta_pos, rot, cons: ContactCons, mask):
         dcB = dcB + mB[:, None] * P
         qB = m.integrate_rot(qB, iB * m.cross(rB, P))
 
-    upd = mask & cons.active
-    delta_pos = delta_pos.at[ia].add(jnp.where(upd[:, None], dcA - delta_pos[ia], 0.0))
-    delta_pos = delta_pos.at[ib].add(jnp.where(upd[:, None], dcB - delta_pos[ib], 0.0))
-    rot = rot.at[ia].add(jnp.where(upd[:, None], qA - rot[ia], 0.0))
-    rot = rot.at[ib].add(jnp.where(upd[:, None], qB - rot[ib], 0.0))
+    delta_pos, rot = gather_apply(
+        bmap.slot[:, k], cons.ia, (dcA, qA), (dcB, qB), (delta_pos, rot)
+    )
     return delta_pos, rot
 
 

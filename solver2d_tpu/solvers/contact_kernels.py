@@ -168,8 +168,11 @@ def solve_contact_core(cons: ContactCons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_im
     return vA, wA, vB, wB, n_imp, t_imp
 
 
-def gs_contact_pass(carry, mask, cons: ContactCons, mode: SolveMode, inv_h, use_bias):
-    """One color's Gauss-Seidel contact pass. carry = (v, w, dp, rot, n_imp, t_imp)."""
+def gs_contact_pass(carry, k, cons: ContactCons, mode: SolveMode, inv_h, use_bias, color, bmap):
+    """One color's Gauss-Seidel contact pass, applied scatter-free via the
+    body map. carry = (v, w, dp, rot, n_imp, t_imp)."""
+    from .common import gather_apply
+
     v, w, dp, rot, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
     vA, wA = v[ia], w[ia]
@@ -180,11 +183,8 @@ def gs_contact_pass(carry, mask, cons: ContactCons, mode: SolveMode, inv_h, use_
     vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
         cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
     )
-    upd = mask & cons.active
-    v = v.at[ia].add(jnp.where(upd[:, None], vA2 - vA, 0.0))
-    w = w.at[ia].add(jnp.where(upd, wA2 - wA, 0.0))
-    v = v.at[ib].add(jnp.where(upd[:, None], vB2 - vB, 0.0))
-    w = w.at[ib].add(jnp.where(upd, wB2 - wB, 0.0))
+    upd = (color == k) & cons.active & bmap.winner
+    v, w = gather_apply(bmap.slot[:, k], ia, (vA2, wA2), (vB2, wB2), (v, w))
     n_imp = jnp.where(upd[:, None], n2, n_imp)
     t_imp = jnp.where(upd[:, None], t2, t_imp)
     return (v, w, dp, rot, n_imp, t_imp)
@@ -247,7 +247,7 @@ def prepare_block(cons: ContactCons, inv_dt):
     return velocity_bias, k_mat, block_mass, use_block, pmask_eff
 
 
-def block_velocity_pass(carry, mask, cons: ContactCons, velocity_bias, k_mat, block_mass, use_block, pmask_eff):
+def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block_mass, use_block, pmask_eff, color, bmap):
     """One colored pass of s2BlockSolveVelocity (block.c:329-658): friction
     first, then either scalar normal (1 point) or the 2x2 LCP solved by total
     enumeration (Murty) — all four cases evaluated, first valid selected."""
@@ -344,16 +344,17 @@ def block_velocity_pass(carry, mask, cons: ContactCons, velocity_bias, k_mat, bl
     wB = jnp.where(blk, wB_b, wB_s)
     n_imp_new = jnp.where(blk[:, None], x, jnp.stack([n0_s, n_imp[:, 1]], axis=-1))
 
-    upd = mask & cons.active
-    v = v.at[ia].add(jnp.where(upd[:, None], vA - vA0, 0.0))
-    w = w.at[ia].add(jnp.where(upd, wA - wA0, 0.0))
-    v = v.at[ib].add(jnp.where(upd[:, None], vB - vB0, 0.0))
-    w = w.at[ib].add(jnp.where(upd, wB - wB0, 0.0))
+    from .common import gather_apply
+
+    upd = (color == k) & cons.active & bmap.winner
+    del vA0, wA0, vB0, wB0
+    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
     n_imp = jnp.where(upd[:, None], n_imp_new, n_imp)
+    t_imp = jnp.where(upd[:, None], t_imp, carry[5])
     return (v, w, dp, rot, n_imp, t_imp)
 
 
-def block_position_pass(carry, mask, cons: ContactCons, use_block):
+def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap):
     """s2BlockSolvePosition (block.c:679-890): block NGS for 2-point
     manifolds, scalar NGS otherwise. carry = (dp, rot)."""
     dp, rot = carry
@@ -429,12 +430,9 @@ def block_position_pass(carry, mask, cons: ContactCons, use_block):
     dcB_n = jnp.where(blk[:, None], dcB_b, dcB_s)
     qB_n = jnp.where(blk[:, None], qB_b, qB_s)
 
-    upd = mask & cons.active
-    updn = upd[:, None]
-    dp = dp.at[ia].add(jnp.where(updn, dcA_n - dcA, 0.0))
-    dp = dp.at[ib].add(jnp.where(updn, dcB_n - dcB, 0.0))
-    rot = rot.at[ia].add(jnp.where(updn, qA_n - qA, 0.0))
-    rot = rot.at[ib].add(jnp.where(updn, qB_n - qB, 0.0))
+    from .common import gather_apply
+
+    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA_n, qA_n), (dcB_n, qB_n), (dp, rot))
     return (dp, rot)
 
 
@@ -509,7 +507,7 @@ def prepare_sticky(bodies_position, contacts, cons: ContactCons, rot):
     return lfa, lfb, tangent_sep, tm, (new_fric_normal_a, new_fric_normal_b, new_fric_anchor_a, new_fric_anchor_b)
 
 
-def sticky_velocity_pass(carry, mask, cons: ContactCons, lfa, lfb, tangent_sep, sticky_tm, inv_h, use_bias):
+def sticky_velocity_pass(carry, k, cons: ContactCons, lfa, lfb, tangent_sep, sticky_tm, inv_h, use_bias, color, bmap):
     """s2SolveContacts_TGS_Sticky (sticky.c:167-310): hard Baumgarte normal
     solve at current anchors, then sticky friction at persistent friction
     anchors with a tangent position bias; friction clamping invalidates
@@ -570,7 +568,8 @@ def sticky_velocity_pass(carry, mask, cons: ContactCons, lfa, lfb, tangent_sep, 
         clamped = (raw < -max_f) | (raw > max_f)
         new = jnp.clip(raw, -max_f, max_f)
         new = jnp.where(cons.pmask[:, j], new, old)
-        persisted = persisted & ~(clamped & cons.pmask[:, j] & mask & cons.active)
+        upd_j = (color == k) & cons.active & bmap.winner
+        persisted = persisted & ~(clamped & cons.pmask[:, j] & upd_j)
         dimp = new - old
         t_imp = t_imp.at[:, j].set(new)
         P = dimp[:, None] * tangent
@@ -579,11 +578,11 @@ def sticky_velocity_pass(carry, mask, cons: ContactCons, lfa, lfb, tangent_sep, 
         vB = vB + mB[:, None] * P
         wB = wB + iB * m.cross(rBf, P)
 
-    upd = mask & cons.active
-    v = v.at[ia].add(jnp.where(upd[:, None], vA - vA0, 0.0))
-    w = w.at[ia].add(jnp.where(upd, wA - wA0, 0.0))
-    v = v.at[ib].add(jnp.where(upd[:, None], vB - vB0, 0.0))
-    w = w.at[ib].add(jnp.where(upd, wB - wB0, 0.0))
+    from .common import gather_apply
+
+    upd = (color == k) & cons.active & bmap.winner
+    del vA0, wA0, vB0, wB0
+    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
     n_imp = jnp.where(upd[:, None], n_imp, carry[4])
     t_imp = jnp.where(upd[:, None], t_imp, carry[5])
     return (v, w, dp, rot, n_imp, t_imp, persisted)
@@ -591,7 +590,7 @@ def sticky_velocity_pass(carry, mask, cons: ContactCons, lfa, lfb, tangent_sep, 
 
 # ------------------------------------------------------------------------ XPBD
 
-def xpbd_position_pass(carry, mask, cons: ContactCons, h):
+def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap):
     """s2SolveContactPositions_XPBD (xpbd.c:88-216): non-penetration lambda in
     position space then static-friction projection. Impulses are overwritten
     (not accumulated) each call. carry = (dp, rot, n_imp, t_imp)."""
@@ -652,18 +651,18 @@ def xpbd_position_pass(carry, mask, cons: ContactCons, h):
         dcB = dcB + mB[:, None] * P
         qB = m.integrate_rot(qB, iB * m.cross(rB, P))
 
-    upd = mask & cons.active
+    from .common import gather_apply
+
+    upd = (color == k) & cons.active & bmap.winner
     updn = upd[:, None]
-    dp = dp.at[ia].add(jnp.where(updn, dcA - dcA0, 0.0))
-    dp = dp.at[ib].add(jnp.where(updn, dcB - dcB0, 0.0))
-    rot = rot.at[ia].add(jnp.where(updn, qA - qA0, 0.0))
-    rot = rot.at[ib].add(jnp.where(updn, qB - qB0, 0.0))
+    del dcA0, dcB0, qA0, qB0
+    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA, qA), (dcB, qB), (dp, rot))
     n_imp = jnp.where(updn, n_imp, carry[2])
     t_imp = jnp.where(updn, t_imp, carry[3])
     return (dp, rot, n_imp, t_imp)
 
 
-def xpbd_velocity_pass(carry, mask, cons: ContactCons, h, inv_h):
+def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap):
     """s2SolveContactVelocities_XPBD (xpbd.c:218-338): normal relaxation (only
     where a position lambda was applied) + kinetic friction via eq. 31 with
     the paper's unit fix. carry = (v, w, dp, rot, n_imp, t_imp)."""
@@ -720,10 +719,10 @@ def xpbd_velocity_pass(carry, mask, cons: ContactCons, h, inv_h):
         vB = vB + mB[:, None] * P
         wB = wB + iB * m.cross(rB, P)
 
-    upd = mask & cons.active
-    v = v.at[ia].add(jnp.where(upd[:, None], vA - vA0, 0.0))
-    w = w.at[ia].add(jnp.where(upd, wA - wA0, 0.0))
-    v = v.at[ib].add(jnp.where(upd[:, None], vB - vB0, 0.0))
-    w = w.at[ib].add(jnp.where(upd, wB - wB0, 0.0))
+    from .common import gather_apply
+
+    upd = (color == k) & cons.active & bmap.winner
+    del vA0, wA0, vB0, wB0
+    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
     t_imp = jnp.where(upd[:, None], t_imp, carry[5])
     return (v, w, dp, rot, n_imp, t_imp)

@@ -144,8 +144,11 @@ def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm
     return cons, imp
 
 
-def warm_start_pass(carry, mask, cons: JointCons, imp: JointImp):
-    """(revolute_joint.c:107-150, mouse_joint.c:85-107) — applied per color."""
+def warm_start_pass(carry, k, cons: JointCons, imp: JointImp, bmap):
+    """(revolute_joint.c:107-150, mouse_joint.c:85-107) — applied per color
+    via the body map (scatter-free)."""
+    from .common import gather_apply
+
     v, w, dp, rot = carry[:4]
     ia, ib = cons.ia, cons.ib
     qA, qB = rot[ia], rot[ib]
@@ -155,13 +158,11 @@ def warm_start_pass(carry, mask, cons: JointCons, imp: JointImp):
     axial = jnp.where(cons.is_mouse, imp.motor, axial)
     P = imp.impulse
 
-    upd = mask & cons.active
-    updn = upd[:, None]
-    not_mouse = ~cons.is_mouse
-    v = v.at[ia].add(jnp.where(updn & not_mouse[:, None], -cons.inv_mass_a[:, None] * P, 0.0))
-    w = w.at[ia].add(jnp.where(upd & not_mouse, -cons.inv_i_a * (m.cross(rA, P) + axial), 0.0))
-    v = v.at[ib].add(jnp.where(updn, cons.inv_mass_b[:, None] * P, 0.0))
-    w = w.at[ib].add(jnp.where(upd, cons.inv_i_b * (m.cross(rB, P) + axial), 0.0))
+    vA2 = v[ia] - cons.inv_mass_a[:, None] * P
+    wA2 = w[ia] - cons.inv_i_a * (m.cross(rA, P) + axial)
+    vB2 = v[ib] + cons.inv_mass_b[:, None] * P
+    wB2 = w[ib] + cons.inv_i_b * (m.cross(rB, P) + axial)
+    v, w = gather_apply(bmap.slot[:, k], ia, (vA2, wA2), (vB2, wB2), (v, w))
     return (v, w) + tuple(carry[2:])
 
 
@@ -242,13 +243,15 @@ def _mouse_angular_damping(cons, imp, wB, inertia_b, h):
     return wB, imp._replace(motor=motor)
 
 
-def solve_pass(carry, mask, cons: JointCons, mode: str, h, inv_h, use_bias: bool, inertia, solve_mouse: bool = True, only_mouse: bool = False):
-    """One colored joint velocity pass.
+def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, inertia, color, bmap, solve_mouse: bool = True, only_mouse: bool = False):
+    """One colored joint velocity pass, applied scatter-free via the body map.
 
     mode: 'rigid' | 'soft' | 'baumgarte'. carry = (v, w, dp, rot, imp).
     inertia: [B] body rotational inertias (for the mouse damping pseudo-motor).
     solve_mouse: mouse joints are skipped in soft relax passes
     (joint.c:390-397)."""
+    from .common import gather_apply
+
     v, w, dp, rot, imp = carry
     ia, ib = cons.ia, cons.ib
     vA, wA = v[ia], w[ia]
@@ -309,17 +312,21 @@ def solve_pass(carry, mask, cons: JointCons, mode: str, h, inv_h, use_bias: bool
 
     # soft relax passes leave mouse joints untouched (joint.c:390-397);
     # the XPBD loop solves ONLY mouse joints in velocity space (joint.c:450-465)
-    upd = mask & cons.active
+    scope = cons.active
     if not solve_mouse:
-        upd = upd & ~cons.is_mouse
+        scope = scope & ~cons.is_mouse
     if only_mouse:
-        upd = upd & cons.is_mouse
-    updn = upd[:, None]
+        scope = scope & cons.is_mouse
+    # out-of-scope joints must not change body state even when in the table
+    scopen = scope[:, None]
+    vA = jnp.where(scopen, vA, vA0_in)
+    wA = jnp.where(scope, wA, wA0_in)
+    vB = jnp.where(scopen, vB, vB0_in)
+    wB = jnp.where(scope, wB, wB0_in)
 
-    v = v.at[ia].add(jnp.where(updn, vA - vA0_in, 0.0))
-    w = w.at[ia].add(jnp.where(upd, wA - wA0_in, 0.0))
-    v = v.at[ib].add(jnp.where(updn, vB - vB0_in, 0.0))
-    w = w.at[ib].add(jnp.where(upd, wB - wB0_in, 0.0))
+    upd = (color == k) & scope & bmap.winner
+    updn = upd[:, None]
+    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
     imp_out = JointImp(
         impulse=jnp.where(updn, new_imp, imp.impulse),
         motor=jnp.where(upd, imp2.motor, imp.motor),
@@ -329,7 +336,7 @@ def solve_pass(carry, mask, cons: JointCons, mode: str, h, inv_h, use_bias: bool
     return (v, w, dp, rot, imp_out)
 
 
-def position_pass(carry, mask, cons: JointCons):
+def position_pass(carry, k, cons: JointCons, color, bmap):
     """NGS joint position solve (revolute_joint.c:305-419): angular limit
     correction + point-to-point projection. Mouse joints are skipped
     (joint.c:353-364). carry = (dp, rot)."""
@@ -370,16 +377,18 @@ def position_pass(carry, mask, cons: JointCons):
     dcB = dcB + mB[:, None] * impulse
     qB = m.integrate_rot(qB, iB * m.cross(rB, impulse))
 
-    upd = mask & rev
-    updn = upd[:, None]
-    dp = dp.at[ia].add(jnp.where(updn, dcA - dp[ia], 0.0))
-    dp = dp.at[ib].add(jnp.where(updn, dcB - dp[ib], 0.0))
-    rot = rot.at[ia].add(jnp.where(updn, qA - rot[ia], 0.0))
-    rot = rot.at[ib].add(jnp.where(updn, qB - rot[ib], 0.0))
+    from .common import gather_apply
+
+    revn = rev[:, None]
+    dcA = jnp.where(revn, dcA, dp[ia])
+    dcB = jnp.where(revn, dcB, dp[ib])
+    qA = jnp.where(revn, qA, rot[ia])
+    qB = jnp.where(revn, qB, rot[ib])
+    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA, qA), (dcB, qB), (dp, rot))
     return (dp, rot)
 
 
-def xpbd_pass(carry, mask, cons: JointCons, inv_h):
+def xpbd_pass(carry, k, cons: JointCons, inv_h, color, bmap):
     """XPBD scalar-distance projection (revolute_joint.c:825-888); mouse
     joints fall through to the regular mouse solve in the XPBD loop
     (joint.c:450-465), handled by the caller. carry = (dp, rot)."""
@@ -410,12 +419,14 @@ def xpbd_pass(carry, mask, cons: JointCons, inv_h):
     dcB = dcB + mB[:, None] * P
     qB = m.integrate_rot(qB, iB * m.cross(rB, P))
 
-    upd = mask & rev
-    updn = upd[:, None]
-    dp = dp.at[ia].add(jnp.where(updn, dcA - dp[ia], 0.0))
-    dp = dp.at[ib].add(jnp.where(updn, dcB - dp[ib], 0.0))
-    rot = rot.at[ia].add(jnp.where(updn, qA - rot[ia], 0.0))
-    rot = rot.at[ib].add(jnp.where(updn, qB - rot[ib], 0.0))
+    from .common import gather_apply
+
+    revn = rev[:, None]
+    dcA = jnp.where(revn, dcA, dp[ia])
+    dcB = jnp.where(revn, dcB, dp[ib])
+    qA = jnp.where(revn, qA, rot[ia])
+    qB = jnp.where(revn, qB, rot[ib])
+    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA, qA), (dcB, qB), (dp, rot))
     return (dp, rot)
 
 

@@ -5,8 +5,9 @@ Each function reproduces one reference solver's iteration structure exactly
 velocity iterations / substeps, colored constraint passes inside, shared
 prepare/warm-start/integrate/finalize kernels from `common`.
 
-Signature: solve(bodies, contacts, joints, ccolor, jcolor, gravity, dt,
-config) -> (bodies, contacts, joints). Solver choice and iteration counts are
+Signature: solve(bodies, contacts, joints, colors, gravity, dt, config) ->
+(bodies, contacts, joints), where colors = (ccolor, cmap, jcolor, jmap) is the
+per-step coloring + scatter-free body maps. Solver choice and iteration counts are
 static (from SimConfig), so each solver compiles to its own specialized
 program — the analog of the reference's `switch (solverType)` dispatch
 (reference: src/world.c:206-257).
@@ -38,52 +39,60 @@ from .common import (
 
 # carry layout threaded through all loops
 # (v, w, delta_pos, rot, n_imp, t_imp, joint_imp)
+#
+# `colors` bundles the per-step coloring and the scatter-free body maps:
+# (ccolor, cmap, jcolor, jmap) — built once per step in step.py.
 
 
-def _contact_gs(st, ccolor, cfg, cons, mode, inv_h, use_bias):
+def _contact_gs(st, colors, cfg, cons, mode, inv_h, use_bias):
+    ccolor, cmap, _, _ = colors
     v, w, dp, rot, n, t, jimp = st
     v, w, dp, rot, n, t = colored_pass(
-        cfg.max_colors, ccolor,
-        lambda c, msk: ck.gs_contact_pass(c, msk, cons, mode, inv_h, use_bias),
+        cfg.max_colors,
+        lambda c, k: ck.gs_contact_pass(c, k, cons, mode, inv_h, use_bias, ccolor, cmap),
         (v, w, dp, rot, n, t),
     )
     return (v, w, dp, rot, n, t, jimp)
 
 
-def _joint_gs(st, jcolor, cfg, jcons, mode, h, inv_h, use_bias, inertia, solve_mouse=True, only_mouse=False):
+def _joint_gs(st, colors, cfg, jcons, mode, h, inv_h, use_bias, inertia, solve_mouse=True, only_mouse=False):
+    _, _, jcolor, jmap = colors
     v, w, dp, rot, n, t, jimp = st
     v, w, dp, rot, jimp = colored_pass(
-        cfg.joint_max_colors, jcolor,
-        lambda c, msk: jk.solve_pass(c, msk, jcons, mode, h, inv_h, use_bias, inertia, solve_mouse, only_mouse),
+        cfg.joint_max_colors,
+        lambda c, k: jk.solve_pass(c, k, jcons, mode, h, inv_h, use_bias, inertia, jcolor, jmap, solve_mouse, only_mouse),
         (v, w, dp, rot, jimp),
     )
     return (v, w, dp, rot, n, t, jimp)
 
 
-def _joint_warm(st, jcolor, cfg, jcons):
+def _joint_warm(st, colors, cfg, jcons):
+    _, _, jcolor, jmap = colors
     v, w, dp, rot, n, t, jimp = st
     v, w, dp, rot = colored_pass(
-        cfg.joint_max_colors, jcolor,
-        lambda c, msk: jk.warm_start_pass(c, msk, jcons, jimp),
+        cfg.joint_max_colors,
+        lambda c, k: jk.warm_start_pass(c, k, jcons, jimp, jmap),
         (v, w, dp, rot),
     )
     return (v, w, dp, rot, n, t, jimp)
 
 
-def _joint_ngs(st, jcolor, cfg, jcons):
+def _joint_ngs(st, colors, cfg, jcons):
+    _, _, jcolor, jmap = colors
     v, w, dp, rot, n, t, jimp = st
     dp, rot = colored_pass(
-        cfg.joint_max_colors, jcolor,
-        lambda c, msk: jk.position_pass(c, msk, jcons),
+        cfg.joint_max_colors,
+        lambda c, k: jk.position_pass(c, k, jcons, jcolor, jmap),
         (dp, rot),
     )
     return (v, w, dp, rot, n, t, jimp)
 
 
-def _contact_ngs(st, ccolor, cfg, cons):
+def _contact_ngs(st, colors, cfg, cons):
+    _, cmap, _, _ = colors
     v, w, dp, rot, n, t, jimp = st
     dp, rot = colored_pass(
-        cfg.max_colors, ccolor, lambda c, msk: ngs_pass(c[0], c[1], cons, msk), (dp, rot)
+        cfg.max_colors, lambda c, k: ngs_pass(c[0], c[1], cons, k, cmap), (dp, rot)
     )
     return (v, w, dp, rot, n, t, jimp)
 
@@ -100,7 +109,7 @@ def _finish(bodies, contacts, joints, cons, jcons, st):
     return bodies, contacts, joints
 
 
-def solve_pgs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_pgs.c:125-213 (box2d_lite style)."""
     h, inv_h = dt, jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     v, w, dp, rot = _init(bodies)
@@ -111,11 +120,11 @@ def solve_pgs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimCon
     if cfg.warm_start:
         v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
         st = (v, w) + st[2:]
-        st = _joint_warm(st, jcolor, cfg, jcons)
+        st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, jcolor, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
-        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_BAUMGARTE, inv_h, True)
+        st = _joint_gs(st, colors, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, colors, cfg, cons, ck.PGS_BAUMGARTE, inv_h, True)
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, it, st)
@@ -124,7 +133,7 @@ def solve_pgs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimCon
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
-def solve_pgs_ngs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_pgs_ngs.c:149-255."""
     h, inv_h = dt, jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     v, w, dp, rot = _init(bodies)
@@ -135,11 +144,11 @@ def solve_pgs_ngs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: Si
     if cfg.warm_start:
         v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
         st = (v, w) + st[2:]
-        st = _joint_warm(st, jcolor, cfg, jcons)
+        st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
-        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_PLAIN, inv_h, True)
+        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, colors, cfg, cons, ck.PGS_PLAIN, inv_h, True)
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, it, st)
@@ -147,15 +156,15 @@ def solve_pgs_ngs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: Si
     st = st[:2] + (dp, rot2) + st[4:]
 
     def pos_it(_, st):
-        st = _joint_ngs(st, jcolor, cfg, jcons)
-        st = _contact_ngs(st, ccolor, cfg, cons)
+        st = _joint_ngs(st, colors, cfg, jcons)
+        st = _contact_ngs(st, colors, cfg, cons)
         return st
 
     st = jax.lax.fori_loop(0, cfg.extra_iterations, pos_it, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
-def solve_pgs_ngs_block(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_pgs_ngs_block.c:892-963 (the default solver)."""
     h = dt
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
@@ -169,14 +178,15 @@ def solve_pgs_ngs_block(bodies, contacts, joints, ccolor, jcolor, gravity, dt, c
     # (block.c:281-319); impulses are zero when warm_start is off
     v, w = warm_start(st[0], st[1], cons, n, t, fixed_anchors=True)
     st = (v, w) + st[2:]
-    st = _joint_warm(st, jcolor, cfg, jcons)
+    st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
         v, w, dp, rot, n, t, jimp = st
+        ccolor, cmap = colors[0], colors[1]
         v, w, dp, rot, n, t = colored_pass(
-            cfg.max_colors, ccolor,
-            lambda c, msk: ck.block_velocity_pass(c, msk, cons, vbias, kmat, bmass, use_block, pmask_eff),
+            cfg.max_colors,
+            lambda c, k: ck.block_velocity_pass(c, k, cons, vbias, kmat, bmass, use_block, pmask_eff, ccolor, cmap),
             (v, w, dp, rot, n, t),
         )
         return (v, w, dp, rot, n, t, jimp)
@@ -187,20 +197,21 @@ def solve_pgs_ngs_block(bodies, contacts, joints, ccolor, jcolor, gravity, dt, c
 
     def pos_it(_, st):
         v, w, dp, rot, n, t, jimp = st
+        ccolor, cmap = colors[0], colors[1]
         dp, rot = colored_pass(
-            cfg.max_colors, ccolor,
-            lambda c, msk: ck.block_position_pass(c, msk, cons, use_block),
+            cfg.max_colors,
+            lambda c, k: ck.block_position_pass(c, k, cons, use_block, ccolor, cmap),
             (dp, rot),
         )
         st = (v, w, dp, rot, n, t, jimp)
-        st = _joint_ngs(st, jcolor, cfg, jcons)
+        st = _joint_ngs(st, colors, cfg, jcons)
         return st
 
     st = jax.lax.fori_loop(0, cfg.extra_iterations, pos_it, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
-def solve_pgs_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_pgs_soft.c:127-242."""
     h = dt
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
@@ -214,11 +225,11 @@ def solve_pgs_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: S
     if cfg.warm_start:
         v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
         st = (v, w) + st[2:]
-        st = _joint_warm(st, jcolor, cfg, jcons)
+        st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
-        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_SOFT, inv_h, True)
+        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, colors, cfg, cons, ck.PGS_SOFT, inv_h, True)
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, it, st)
@@ -226,15 +237,15 @@ def solve_pgs_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: S
     st = st[:2] + (dp, rot2) + st[4:]
 
     def relax_it(_, st):
-        st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
-        st = _contact_gs(st, ccolor, cfg, cons, ck.PGS_SOFT, inv_h, False)
+        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
+        st = _contact_gs(st, colors, cfg, cons, ck.PGS_SOFT, inv_h, False)
         return st
 
     st = jax.lax.fori_loop(0, cfg.extra_iterations, relax_it, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
-def solve_jacobi(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_jacobi.c:134-292. Contacts solved Jacobi (deltas
     accumulated, applied per iteration); joints stay Gauss-Seidel."""
     h = dt
@@ -249,13 +260,13 @@ def solve_jacobi(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: Sim
     if cfg.warm_start:
         v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
         st = (v, w) + st[2:]
-        st = _joint_warm(st, jcolor, cfg, jcons)
+        st = _joint_warm(st, colors, cfg, jcons)
 
     dyn = (bodies.type == 2) & bodies.alive
 
     def it_factory(use_bias):
         def it(_, st):
-            st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, use_bias, bodies.inertia, solve_mouse=use_bias)
+            st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, use_bias, bodies.inertia, solve_mouse=use_bias)
             v, w, dp, rot, n, t, jimp = st
             v, w, n, t = ck.jacobi_contact_pass(v, w, dp, rot, cons, n, t, ck.JACOBI_SOFT, inv_h, use_bias, dyn)
             return (v, w, dp, rot, n, t, jimp)
@@ -269,7 +280,7 @@ def solve_jacobi(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: Sim
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
-def _substep_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg, mode, joint_hertz_factor, fixed_warm):
+def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, joint_hertz_factor, fixed_warm):
     """Shared skeleton of TGS_Soft (solve_tgs_soft.c:138-280) and SoftStep
     (solve_soft_step.c:182-311): prepare once, then per substep integrate
     velocities -> warm start -> biased solve -> integrate positions -> relax.
@@ -289,35 +300,35 @@ def _substep_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg, mo
         v, w = integrate_velocities(bodies, v, w, gravity, h)
         st = (v, w, dp, rot, n, t, jimp)
         if cfg.warm_start:
-            st = _joint_warm(st, jcolor, cfg, jcons)
+            st = _joint_warm(st, colors, cfg, jcons)
             v, w, dp, rot, n, t, jimp = st
             v, w = warm_start(v, w, cons, n, t, rot=rot, fixed_anchors=fixed_warm)
             st = (v, w, dp, rot, n, t, jimp)
-        st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
-        st = _contact_gs(st, ccolor, cfg, cons, mode, inv_h, True)
+        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, colors, cfg, cons, mode, inv_h, True)
         v, w, dp, rot, n, t, jimp = st
         dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
         st = (v, w, dp, rot, n, t, jimp)
         if cfg.extra_iterations > 0:
-            st = _joint_gs(st, jcolor, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
-            st = _contact_gs(st, ccolor, cfg, cons, mode, inv_h, False)
+            st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
+            st = _contact_gs(st, colors, cfg, cons, mode, inv_h, False)
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
-def solve_tgs_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg):
+def solve_tgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg):
     """reference: src/solve_tgs_soft.c:138-280 (became Box2D v3's solver)."""
-    return _substep_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg, ck.TGS_SOFT, 0.125, fixed_warm=False)
+    return _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, ck.TGS_SOFT, 0.125, fixed_warm=False)
 
 
-def solve_soft_step(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg):
+def solve_soft_step(bodies, contacts, joints, colors, gravity, dt, cfg):
     """reference: src/solve_soft_step.c:182-311 (TGS_Soft with fixed anchors)."""
-    return _substep_soft(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg, ck.SOFT_STEP, 0.25, fixed_warm=True)
+    return _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, ck.SOFT_STEP, 0.25, fixed_warm=True)
 
 
-def solve_tgs_ngs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_tgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_tgs_ngs.c:207-317."""
     h = dt / cfg.iterations
     inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
@@ -331,24 +342,24 @@ def solve_tgs_ngs(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: Si
         v, w = integrate_velocities(bodies, v, w, gravity, h)
         st = (v, w, dp, rot, n, t, jimp)
         if cfg.warm_start:
-            st = _joint_warm(st, jcolor, cfg, jcons)
+            st = _joint_warm(st, colors, cfg, jcons)
             v, w, dp, rot, n, t, jimp = st
             v, w = warm_start(v, w, cons, n, t, rot=rot)
             st = (v, w, dp, rot, n, t, jimp)
-        st = _joint_gs(st, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
-        st = _contact_gs(st, ccolor, cfg, cons, ck.TGS_RIGID, inv_h, True)
+        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _contact_gs(st, colors, cfg, cons, ck.TGS_RIGID, inv_h, True)
         v, w, dp, rot, n, t, jimp = st
         dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
         st = (v, w, dp, rot, n, t, jimp)
-        st = _joint_ngs(st, jcolor, cfg, jcons)
-        st = _contact_ngs(st, ccolor, cfg, cons)
+        st = _joint_ngs(st, colors, cfg, jcons)
+        st = _contact_ngs(st, colors, cfg, cons)
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
-def solve_tgs_sticky(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_tgs_sticky.c:313-417. No warm starting; persistent
     friction anchors; relax iterations AFTER positions are finalized."""
     h = dt / cfg.iterations
@@ -360,11 +371,13 @@ def solve_tgs_sticky(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg:
     lfa, lfb, tsep, stm, fric_store = ck.prepare_sticky(bodies.position, contacts, cons, bodies.rot)
     fric_persisted = jnp.ones_like(cons.active)
 
+    ccolor, cmap = colors[0], colors[1]
+
     def sticky_gs(st, use_bias):
         v, w, dp, rot, n, t, jimp, fp = st
         v, w, dp, rot, n, t, fp = colored_pass(
-            cfg.max_colors, ccolor,
-            lambda c, msk: ck.sticky_velocity_pass(c, msk, cons, lfa, lfb, tsep, stm, inv_h, use_bias),
+            cfg.max_colors,
+            lambda c, k: ck.sticky_velocity_pass(c, k, cons, lfa, lfb, tsep, stm, inv_h, use_bias, ccolor, cmap),
             (v, w, dp, rot, n, t, fp),
         )
         return (v, w, dp, rot, n, t, jimp, fp)
@@ -375,7 +388,7 @@ def solve_tgs_sticky(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg:
         v, w, dp, rot, n, t, jimp, fp = st
         v, w = integrate_velocities(bodies, v, w, gravity, h)
         st7 = (v, w, dp, rot, n, t, jimp)
-        st7 = _joint_gs(st7, jcolor, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
+        st7 = _joint_gs(st7, colors, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
         st = st7 + (fp,)
         st = sticky_gs(st, True)
         v, w, dp, rot, n, t, jimp, fp = st
@@ -393,7 +406,7 @@ def solve_tgs_sticky(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg:
     def relax(_, st):
         v, w, dp, rot, n, t, jimp, fp = st
         st7 = (v, w, dp, rot, n, t, jimp)
-        st7 = _joint_gs(st7, jcolor, cfg, jcons, "baumgarte", h, inv_h, False, bodies.inertia)
+        st7 = _joint_gs(st7, colors, cfg, jcons, "baumgarte", h, inv_h, False, bodies.inertia)
         st = st7 + (fp,)
         return sticky_gs(st, False)
 
@@ -413,7 +426,7 @@ def solve_tgs_sticky(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg:
     return bodies_out, contacts, joints
 
 
-def solve_xpbd(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimConfig):
+def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_xpbd.c:342-530 (Mueller et al. 2020)."""
     h = dt / cfg.iterations
     inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
@@ -434,20 +447,22 @@ def solve_xpbd(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimCo
         rot = jnp.where(moving[:, None], m.integrate_rot(rot, h * w), rot)
 
         # joint position projection (+ mouse velocity solve, joint.c:450-465)
+        jcolor, jmap = colors[2], colors[3]
         dp, rot = colored_pass(
-            cfg.joint_max_colors, jcolor,
-            lambda c, msk: jk.xpbd_pass(c, msk, jcons, inv_h),
+            cfg.joint_max_colors,
+            lambda c, k: jk.xpbd_pass(c, k, jcons, inv_h, jcolor, jmap),
             (dp, rot),
         )
         # mouse joints get their regular velocity solve here (joint.c:450-465)
         st7 = (v, w, dp, rot, n, t, jimp)
-        st7 = _joint_gs(st7, jcolor, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia, solve_mouse=True, only_mouse=True)
+        st7 = _joint_gs(st7, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia, solve_mouse=True, only_mouse=True)
         v, w, dp, rot, n, t, jimp = st7
 
         # contact position projection
+        ccolor, cmap = colors[0], colors[1]
         dp, rot, n, t = colored_pass(
-            cfg.max_colors, ccolor,
-            lambda c, msk: ck.xpbd_position_pass(c, msk, cons, h),
+            cfg.max_colors,
+            lambda c, k: ck.xpbd_position_pass(c, k, cons, h, ccolor, cmap),
             (dp, rot, n, t),
         )
 
@@ -457,8 +472,8 @@ def solve_xpbd(bodies, contacts, joints, ccolor, jcolor, gravity, dt, cfg: SimCo
 
         # relax contact velocities
         v, w, dp, rot, n, t = colored_pass(
-            cfg.max_colors, ccolor,
-            lambda c, msk: ck.xpbd_velocity_pass(c, msk, cons, h, inv_h),
+            cfg.max_colors,
+            lambda c, k: ck.xpbd_velocity_pass(c, k, cons, h, inv_h, ccolor, cmap),
             (v, w, dp, rot, n, t),
         )
         return (v, w, dp, rot, n, t, jimp)

@@ -115,7 +115,10 @@ def step(state: State, dt, config: SimConfig) -> State:
     # Stage 3a: narrowphase
     contacts = update_manifolds(state, contacts)
 
-    # coloring (contacts and joints separately; they solve in separate passes)
+    # coloring (contacts and joints separately; they solve in separate
+    # passes) + the scatter-free body maps (see ops/coloring.py)
+    from .solvers.common import make_body_map
+
     dyn_mask = (bodies.type == 2) & bodies.alive
     touching = contacts.alive & (contacts.point_count > 0)
     ccolor, c_overflow = coloring.color_graph(
@@ -125,11 +128,22 @@ def step(state: State, dt, config: SimConfig) -> State:
         state.joints.body_a, state.joints.body_b, state.joints.alive, dyn_mask,
         config.max_bodies, config.joint_max_colors,
     )
+    cmap = make_body_map(
+        contacts.body_a, contacts.body_b, ccolor, touching, dyn_mask,
+        config.max_bodies, config.max_colors,
+    )
+    jmap = make_body_map(
+        state.joints.body_a, state.joints.body_b, jcolor, state.joints.alive, dyn_mask,
+        config.max_bodies, config.joint_max_colors,
+        write_a_extra=state.joints.type != 1,  # mouse joints never write body A
+    )
+    colors = (ccolor, cmap, jcolor, jmap)
+    c_overflow = c_overflow + (touching & ~cmap.winner).sum()
 
     # Stage 3c: solve
     solver_fn = SOLVERS[config.solver]
     new_bodies, contacts, joints = solver_fn(
-        bodies, contacts, state.joints, ccolor, jcolor, state.gravity, jnp.float32(dt), config
+        bodies, contacts, state.joints, colors, state.gravity, jnp.float32(dt), config
     )
 
     # Stage 4: AABB + fat AABB hysteresis update
