@@ -38,15 +38,21 @@ def main():
     stepf = batched_step(cfg)
     batch = replicate_state(state, worlds)
 
+    import numpy as np
+
     dt = jnp.float32(1.0 / 60.0)
-    # compile + warmup
+    # Warm up TWICE with chained (output->input) calls: call 1 compiles, call
+    # 2 may recompile for the XLA-chosen output layouts; only then is the
+    # executable cache stable. Materialize to defeat async queuing.
     batch = stepf(batch, dt)
-    jax.block_until_ready(batch)
+    _ = np.asarray(batch.diag.step_id)
+    batch = stepf(batch, dt)
+    _ = np.asarray(batch.diag.step_id)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         batch = stepf(batch, dt)
-    jax.block_until_ready(batch)
+    _ = np.asarray(batch.bodies.position)  # full materialization barrier
     elapsed = time.perf_counter() - t0
 
     world_steps_per_sec = worlds * steps / elapsed
