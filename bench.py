@@ -14,12 +14,16 @@ import time
 
 
 def main():
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from solver2d_tpu.config import SolverType
     from solver2d_tpu.models.contact_scenes import pyramid_world
-    from solver2d_tpu.parallel import batched_step, replicate_state
+    from solver2d_tpu.parallel import replicate_state
+    from solver2d_tpu.step import step
 
     worlds = int(os.environ.get("S2_BENCH_WORLDS", "1024"))
     base = int(os.environ.get("S2_BENCH_BASE", "62"))  # base 62 -> 1953 bodies (~2k)
@@ -31,27 +35,31 @@ def main():
     # pyramid contact count ~= 3 per box; modest headroom
     state, cfg = w.freeze(
         max_contacts=((4 * len(ids) + 127) // 128) * 128,
-        sap_window=24,
         max_colors=16,
     )
 
-    stepf = batched_step(cfg)
+    vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+
+    @jax.jit
+    def run_block(b):
+        def body(s, _):
+            return vstep(s, jnp.float32(1.0 / 60.0)), None
+
+        out, _ = jax.lax.scan(body, b, None, length=steps)
+        return out
+
     batch = replicate_state(state, worlds)
 
-    import numpy as np
-
-    dt = jnp.float32(1.0 / 60.0)
     # Warm up TWICE with chained (output->input) calls: call 1 compiles, call
     # 2 may recompile for the XLA-chosen output layouts; only then is the
-    # executable cache stable. Materialize to defeat async queuing.
-    batch = stepf(batch, dt)
+    # executable cache stable. Materialize to defeat async dispatch queuing.
+    batch = run_block(batch)
     _ = np.asarray(batch.diag.step_id)
-    batch = stepf(batch, dt)
+    batch = run_block(batch)
     _ = np.asarray(batch.diag.step_id)
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        batch = stepf(batch, dt)
+    batch = run_block(batch)
     _ = np.asarray(batch.bodies.position)  # full materialization barrier
     elapsed = time.perf_counter() - t0
 

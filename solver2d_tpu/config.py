@@ -96,9 +96,14 @@ class SimConfig:
     max_contacts: int = 512
     max_joints: int = 16
 
-    # Broadphase sweep-and-prune window: each shape is tested against this many
-    # successors in sorted AABB order. Overflow is reported in diagnostics.
+    # Broadphase: 'grid' (hashed uniform grid — scales to dense stacked
+    # scenes) or 'sap' (sweep-and-prune window — fine for small/sparse
+    # scenes). Overflow of either is reported in diagnostics.
+    broadphase: str = "grid"
     sap_window: int = 16
+    grid_cell: float = 1.5       # cell size; freeze() auto-sizes from shapes
+    cell_capacity: int = 8       # max small shapes per cell
+    max_big_shapes: int = 16     # shapes larger than a cell (grounds, ramps)
 
     # Graph coloring: number of independent constraint batches for the
     # Gauss-Seidel sweeps. Contacts left uncolored after MAX_COLORS-1 rounds

@@ -222,3 +222,137 @@ def jointed_body_keys(joints, config: SimConfig) -> jnp.ndarray:
     key = jnp.minimum(ba, bb) * config.max_bodies + jnp.maximum(ba, bb)
     key = jnp.where(joints.alive & ~joints.collide_connected, key, INT32_MAX)
     return jnp.sort(key)
+
+
+# --------------------------------------------------------- hashed uniform grid
+
+def _cell_hash(cx, cy):
+    """Spatial hash of integer cell coords. Collisions are harmless: they only
+    merge far-apart cells into one bucket, adding candidates that the AABB
+    test rejects — pairs are never missed because neighbors are looked up by
+    hashing the neighbor's own coords."""
+    h = cx * jnp.int32(-1640531527) + cy * jnp.int32(97143011)
+    h = h ^ (h >> 13)
+    return h
+
+
+def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray, config: SimConfig) -> PairResult:
+    """Uniform-grid pair finding: shapes bin by fat-AABB center into
+    `config.grid_cell`-sized cells (sorted by cell hash); each shape tests the
+    <= cell_capacity occupants of its 3x3 neighborhood. Shapes larger than a
+    cell ("big": grounds, ramps, arena walls, giant boxes) live in a separate
+    list of capacity max_big_shapes and are tested against everything.
+
+    Scales to dense stacked scenes (pyramids) where sweep-and-prune windows
+    blow up: a pyramid column overlaps O(base) shapes in x but only O(1) per
+    cell."""
+    S = config.max_shapes
+    M = config.cell_capacity
+    G = config.max_big_shapes
+    cell = config.grid_cell
+    fat = shapes.fat_aabb
+    alive = shapes.alive
+
+    w = fat[:, 2] - fat[:, 0]
+    h = fat[:, 3] - fat[:, 1]
+    big = alive & ((w > cell) | (h > cell))
+    small = alive & ~big
+
+    cx = jnp.floor(0.5 * (fat[:, 0] + fat[:, 2]) / cell).astype(jnp.int32)
+    cy = jnp.floor(0.5 * (fat[:, 1] + fat[:, 3]) / cell).astype(jnp.int32)
+    hashes = jnp.where(small, _cell_hash(cx, cy), INT32_MAX)
+
+    order = jnp.argsort(hashes)          # small shapes sorted by cell hash
+    sorted_hash = hashes[order]
+
+    # per-shape candidate lists from the 3x3 neighborhood
+    neighbor_offsets = [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+    cand_list = []
+    cand_valid = []
+    overflow = jnp.zeros((), bool)
+    lanes = jnp.arange(M)
+    for dx, dy in neighbor_offsets:
+        nh = _cell_hash(cx + dx, cy + dy)
+        lo = jnp.searchsorted(sorted_hash, nh)
+        hi = jnp.searchsorted(sorted_hash, nh, side="right")
+        count = hi - lo
+        overflow = overflow | jnp.any(small & (count > M))
+        pos = jnp.minimum(lo[:, None] + lanes[None, :], S - 1)   # [S,M]
+        cand = order[pos]
+        valid = (lanes[None, :] < count[:, None]) & small[:, None]
+        cand_list.append(cand)
+        cand_valid.append(valid)
+
+    grid_cand = jnp.concatenate(cand_list, axis=1)      # [S, 9M]
+    grid_valid = jnp.concatenate(cand_valid, axis=1)
+
+    # big-shape candidates: indices of big shapes, padded
+    big_rank = jnp.cumsum(big) - 1
+    big_idx = jnp.full((G,), 0, jnp.int32)
+    big_idx = big_idx.at[jnp.where(big, jnp.minimum(big_rank, G - 1), G - 1)].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop"
+    )
+    big_slot_valid = jnp.arange(G) < jnp.minimum(big.sum(), G)
+    overflow = overflow | (big.sum() > G)
+
+    big_cand = jnp.broadcast_to(big_idx[None, :], (S, G))
+    big_cand_valid = jnp.broadcast_to(big_slot_valid[None, :], (S, G)) & alive[:, None]
+
+    idx = jnp.arange(S, dtype=jnp.int32)
+    a_idx = jnp.broadcast_to(idx[:, None], (S, grid_cand.shape[1] + G))
+    b_idx = jnp.concatenate([grid_cand, big_cand], axis=1)
+    valid = jnp.concatenate([grid_valid, big_cand_valid], axis=1)
+
+    # keep each unordered pair once: grid-grid and big-big by a<b; small-a vs
+    # big-b always kept from the small side (a may be > b), so canonicalize
+    # below and drop a==b
+    valid &= a_idx != b_idx
+    both_small = small[a_idx] & small[b_idx]
+    both_big = big[a_idx] & big[b_idx]
+    valid &= jnp.where(both_small | both_big, a_idx < b_idx, small[a_idx])
+
+    # AABB overlap
+    fa = fat[a_idx.reshape(-1)].reshape(a_idx.shape + (4,))
+    fb = fat[b_idx.reshape(-1)].reshape(b_idx.shape + (4,))
+    valid &= (
+        (fa[..., 0] <= fb[..., 2]) & (fb[..., 0] <= fa[..., 2])
+        & (fa[..., 1] <= fb[..., 3]) & (fb[..., 1] <= fa[..., 3])
+    )
+
+    # pair rules (same as find_pairs)
+    body_a = shapes.body[a_idx]
+    body_b = shapes.body[b_idx]
+    valid &= body_a != body_b
+    valid &= (body_type[body_a] == 2) | (body_type[body_b] == 2)
+    ga = shapes.filter_group[a_idx]
+    gb = shapes.filter_group[b_idx]
+    same_group = (ga == gb) & (ga != 0)
+    mask_ok = (
+        ((shapes.filter_mask[a_idx] & shapes.filter_category[b_idx]) != 0)
+        & ((shapes.filter_category[a_idx] & shapes.filter_mask[b_idx]) != 0)
+    )
+    valid &= jnp.where(same_group, ga > 0, mask_ok)
+    bkey = jnp.minimum(body_a, body_b) * config.max_bodies + jnp.maximum(body_a, body_b)
+    pos2 = jnp.minimum(jnp.searchsorted(jointed_keys, bkey), jointed_keys.shape[0] - 1)
+    valid &= jointed_keys[pos2] != bkey
+
+    a_c = jnp.minimum(a_idx, b_idx)
+    b_c = jnp.maximum(a_idx, b_idx)
+    pair_key = jnp.where(valid, a_c * S + b_c, INT32_MAX)
+
+    C = config.max_contacts
+    flat_key = pair_key.reshape(-1)
+    flat_a = a_c.reshape(-1)
+    flat_b = b_c.reshape(-1)
+    count = (flat_key != INT32_MAX).sum()
+
+    top_key, top_pos = jax.lax.top_k(-flat_key, C)
+    top_key = -top_key
+    # drop duplicates (possible only under a 3x3-neighbor hash collision):
+    # keys are ascending after top_k, so duplicates are adjacent
+    dup = jnp.concatenate([jnp.zeros((1,), bool), top_key[1:] == top_key[:-1]])
+    top_key = jnp.where(dup, INT32_MAX, top_key)
+    sa = jnp.where(top_key != INT32_MAX, flat_a[top_pos], 0)
+    sb = jnp.where(top_key != INT32_MAX, flat_b[top_pos], 0)
+    overflow = overflow | (count > C)
+    return PairResult(sa, sb, top_key, top_key != INT32_MAX, count, overflow)

@@ -250,6 +250,33 @@ def _exp(mask, ndim):
     return mask.reshape(mask.shape + (1,) * (ndim - 1))
 
 
+# ------------------------------------------------------- packed body state
+#
+# TPU row-gathers have a large fixed per-row cost, so all per-body solver
+# state lives in ONE [B, 8] array during solving: one gather per endpoint per
+# pass instead of eight. Lanes: [vx, vy, w, dpx, dpy, rot_s, rot_c, pad].
+
+def pack_body_state(v, w, dp, rot):
+    return jnp.concatenate(
+        [v, w[:, None], dp, rot, jnp.zeros_like(w[:, None])], axis=-1
+    )
+
+
+def unpack_body_state(bs):
+    return bs[:, 0:2], bs[:, 2], bs[:, 3:5], bs[:, 5:7]
+
+
+def unpack_rows(rows):
+    """Split gathered [C, 8] rows into (v [C,2], w [C], dp [C,2], rot [C,2])."""
+    return rows[:, 0:2], rows[:, 2], rows[:, 3:5], rows[:, 5:7]
+
+
+def pack_rows(v, w, dp, rot):
+    return jnp.concatenate(
+        [v, w[:, None], dp, rot, jnp.zeros_like(w[:, None])], axis=-1
+    )
+
+
 def gather_apply(slot_k, body_a, values_a, values_b, targets):
     """Apply per-constraint endpoint values to per-body arrays by gathering.
 
@@ -279,17 +306,60 @@ def colored_pass(n_colors: int, solve_fn, carry):
     return jax.lax.fori_loop(0, n_colors, body, carry)
 
 
+# ------------------------------------------------ packed integration/warm
+
+def integrate_velocities_packed(bodies: Bodies, bs, gravity, h):
+    v, w, dp, rot = unpack_body_state(bs)
+    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    return pack_body_state(v, w, dp, rot)
+
+
+def integrate_positions_packed(bodies: Bodies, bs, h):
+    v, w, dp, rot = unpack_body_state(bs)
+    dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
+    return pack_body_state(v, w, dp, rot)
+
+
+def warm_start_packed(bs, cons: ContactCons, n_imp, t_imp, fixed_anchors: bool = False):
+    """Packed warm start: two scatter-adds total (reference:
+    src/solve_common.c:276-326; fixed variant solve_soft_step.c:16-63)."""
+    if fixed_anchors:
+        rA, rB = cons.r_a0, cons.r_b0
+    else:
+        _, _, _, rot = unpack_body_state(bs)
+        qA, qB = rot[cons.ia], rot[cons.ib]
+        rA = m.rotate(qA[:, None, :], cons.local_anchor_a)
+        rB = m.rotate(qB[:, None, :], cons.local_anchor_b)
+
+    tangent = m.right_perp(cons.normal)
+    P = n_imp[..., None] * cons.normal[:, None, :] + t_imp[..., None] * tangent[:, None, :]
+    P = jnp.where(cons.pmask[..., None], P, 0.0)
+    P_tot = P.sum(axis=1)
+    torque_a = m.cross(rA, P).sum(axis=1)
+    torque_b = m.cross(rB, P).sum(axis=1)
+
+    z2 = jnp.zeros_like(P_tot)
+    z1 = jnp.zeros_like(torque_a[:, None])
+    dA = jnp.concatenate([-cons.inv_mass_a[:, None] * P_tot, (-cons.inv_i_a * torque_a)[:, None], z2, z2, z1], axis=-1)
+    dB = jnp.concatenate([cons.inv_mass_b[:, None] * P_tot, (cons.inv_i_b * torque_b)[:, None], z2, z2, z1], axis=-1)
+    bs = bs.at[cons.ia].add(dA)
+    bs = bs.at[cons.ib].add(dB)
+    return bs
+
+
 # ------------------------------------------------------------ NGS positions
 
-def ngs_pass(delta_pos, rot, cons: ContactCons, k, bmap: "BodyMap"):
+def ngs_pass(bs, cons: ContactCons, k, bmap: "BodyMap"):
     """Nonlinear Gauss-Seidel position correction for one color
-    (reference: src/solve_common.c:328-394). Applied scatter-free via the
-    body map."""
+    (reference: src/solve_common.c:328-394). Packed body state; applied
+    scatter-free via the body map."""
     ia, ib = cons.ia, cons.ib
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
-    dcA, dcB = delta_pos[ia], delta_pos[ib]
-    qA, qB = rot[ia], rot[ib]
+    rowsA = bs[ia]
+    rowsB = bs[ib]
+    vA, wA, dcA, qA = unpack_rows(rowsA)
+    vB, wB, dcB, qB = unpack_rows(rowsB)
     normal = cons.normal
 
     for j in range(2):
@@ -311,10 +381,10 @@ def ngs_pass(delta_pos, rot, cons: ContactCons, k, bmap: "BodyMap"):
         dcB = dcB + mB[:, None] * P
         qB = m.integrate_rot(qB, iB * m.cross(rB, P))
 
-    delta_pos, rot = gather_apply(
-        bmap.slot[:, k], cons.ia, (dcA, qA), (dcB, qB), (delta_pos, rot)
-    )
-    return delta_pos, rot
+    outA = pack_rows(vA, wA, dcA, qA)
+    outB = pack_rows(vB, wB, dcB, qB)
+    (bs,) = gather_apply(bmap.slot[:, k], cons.ia, (outA,), (outB,), (bs,))
+    return bs
 
 
 def store_impulses(contacts: Contacts, cons: ContactCons, n_imp, t_imp) -> Contacts:

@@ -169,50 +169,51 @@ def solve_contact_core(cons: ContactCons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_im
 
 
 def gs_contact_pass(carry, k, cons: ContactCons, mode: SolveMode, inv_h, use_bias, color, bmap):
-    """One color's Gauss-Seidel contact pass, applied scatter-free via the
-    body map. carry = (v, w, dp, rot, n_imp, t_imp)."""
-    from .common import gather_apply
+    """One color's Gauss-Seidel contact pass on the packed [B,8] body state:
+    two row-gathers in, one mapped row-gather out. carry = (bs, n_imp, t_imp)."""
+    from .common import gather_apply, pack_rows, unpack_rows
 
-    v, w, dp, rot, n_imp, t_imp = carry
+    bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA = v[ia], w[ia]
-    vB, wB = v[ib], w[ib]
-    qA, qB = rot[ia], rot[ib]
-    dcA, dcB = dp[ia], dp[ib]
+    vA, wA, dcA, qA = unpack_rows(bs[ia])
+    vB, wB, dcB, qB = unpack_rows(bs[ib])
 
     vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
         cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
     )
     upd = (color == k) & cons.active & bmap.winner
-    v, w = gather_apply(bmap.slot[:, k], ia, (vA2, wA2), (vB2, wB2), (v, w))
+    outA = pack_rows(vA2, wA2, dcA, qA)
+    outB = pack_rows(vB2, wB2, dcB, qB)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
     n_imp = jnp.where(upd[:, None], n2, n_imp)
     t_imp = jnp.where(upd[:, None], t2, t_imp)
-    return (v, w, dp, rot, n_imp, t_imp)
+    return (bs, n_imp, t_imp)
 
 
-def jacobi_contact_pass(v, w, dp, rot, cons: ContactCons, n_imp, t_imp, mode: SolveMode, inv_h, use_bias, dyn_mask):
+def jacobi_contact_pass(bs, cons: ContactCons, n_imp, t_imp, mode: SolveMode, inv_h, use_bias):
     """Jacobi: solve every contact against frozen velocities, accumulate
     per-body deltas, apply once (reference: src/solve_jacobi.c:21-132,233-245).
-    """
+    Packed body state: two scatter-adds total."""
+    from .common import unpack_rows
+
     ia, ib = cons.ia, cons.ib
-    vA, wA = v[ia], w[ia]
-    vB, wB = v[ib], w[ib]
-    qA, qB = rot[ia], rot[ib]
-    dcA, dcB = dp[ia], dp[ib]
+    vA, wA, dcA, qA = unpack_rows(bs[ia])
+    vB, wB, dcB, qB = unpack_rows(bs[ib])
 
     vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
         cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
     )
     upd = cons.active
-    dv = jnp.zeros_like(v)
-    dw = jnp.zeros_like(w)
-    dv = dv.at[ia].add(jnp.where(upd[:, None], vA2 - vA, 0.0))
-    dw = dw.at[ia].add(jnp.where(upd, wA2 - wA, 0.0))
-    dv = dv.at[ib].add(jnp.where(upd[:, None], vB2 - vB, 0.0))
-    dw = dw.at[ib].add(jnp.where(upd, wB2 - wB, 0.0))
-    n_imp = jnp.where(upd[:, None], n2, n_imp)
-    t_imp = jnp.where(upd[:, None], t2, t_imp)
-    return v + dv, w + dw, n_imp, t_imp
+    updn = upd[:, None]
+    z2 = jnp.zeros((ia.shape[0], 2), bs.dtype)
+    z1 = jnp.zeros((ia.shape[0], 1), bs.dtype)
+    dA = jnp.concatenate([jnp.where(updn, vA2 - vA, 0.0), jnp.where(upd, wA2 - wA, 0.0)[:, None], z2, z2, z1], axis=-1)
+    dB = jnp.concatenate([jnp.where(updn, vB2 - vB, 0.0), jnp.where(upd, wB2 - wB, 0.0)[:, None], z2, z2, z1], axis=-1)
+    bs = bs.at[ia].add(dA)
+    bs = bs.at[ib].add(dB)
+    n_imp = jnp.where(updn, n2, n_imp)
+    t_imp = jnp.where(updn, t2, t_imp)
+    return bs, n_imp, t_imp
 
 
 # ----------------------------------------------------------- 2x2 block solver
@@ -251,11 +252,12 @@ def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block
     """One colored pass of s2BlockSolveVelocity (block.c:329-658): friction
     first, then either scalar normal (1 point) or the 2x2 LCP solved by total
     enumeration (Murty) — all four cases evaluated, first valid selected."""
-    v, w, dp, rot, n_imp, t_imp = carry
+    from .common import pack_rows, unpack_rows
+
+    bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA = v[ia], w[ia]
-    vB, wB = v[ib], w[ib]
-    vA0, wA0, vB0, wB0 = vA, wA, vB, wB
+    vA, wA, dcA_r, qA_r = unpack_rows(bs[ia])
+    vB, wB, dcB_r, qB_r = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -347,20 +349,23 @@ def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block
     from .common import gather_apply
 
     upd = (color == k) & cons.active & bmap.winner
-    del vA0, wA0, vB0, wB0
-    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
+    outA = pack_rows(vA, wA, dcA_r, qA_r)
+    outB = pack_rows(vB, wB, dcB_r, qB_r)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
     n_imp = jnp.where(upd[:, None], n_imp_new, n_imp)
-    t_imp = jnp.where(upd[:, None], t_imp, carry[5])
-    return (v, w, dp, rot, n_imp, t_imp)
+    t_imp = jnp.where(upd[:, None], t_imp, carry[2])
+    return (bs, n_imp, t_imp)
 
 
 def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap):
     """s2BlockSolvePosition (block.c:679-890): block NGS for 2-point
-    manifolds, scalar NGS otherwise. carry = (dp, rot)."""
-    dp, rot = carry
+    manifolds, scalar NGS otherwise. carry = packed bs."""
+    from .common import pack_rows, unpack_rows
+
+    bs = carry
     ia, ib = cons.ia, cons.ib
-    dcA, dcB = dp[ia], dp[ib]
-    qA, qB = rot[ia], rot[ib]
+    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
+    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -432,8 +437,10 @@ def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap):
 
     from .common import gather_apply
 
-    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA_n, qA_n), (dcB_n, qB_n), (dp, rot))
-    return (dp, rot)
+    outA = pack_rows(vA_r, wA_r, dcA_n, qA_n)
+    outB = pack_rows(vB_r, wB_r, dcB_n, qB_n)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    return bs
 
 
 # ------------------------------------------------------------------ TGS sticky
@@ -511,14 +518,13 @@ def sticky_velocity_pass(carry, k, cons: ContactCons, lfa, lfb, tangent_sep, sti
     """s2SolveContacts_TGS_Sticky (sticky.c:167-310): hard Baumgarte normal
     solve at current anchors, then sticky friction at persistent friction
     anchors with a tangent position bias; friction clamping invalidates
-    persistence. carry = (v, w, dp, rot, n_imp, t_imp, fric_persisted)."""
-    v, w, dp, rot, n_imp, t_imp, fric_persisted = carry
+    persistence. carry = (bs, n_imp, t_imp, fric_persisted)."""
+    from .common import pack_rows, unpack_rows
+
+    bs, n_imp, t_imp, fric_persisted = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA = v[ia], w[ia]
-    vB, wB = v[ib], w[ib]
-    vA0, wA0, vB0, wB0 = vA, wA, vB, wB
-    qA, qB = rot[ia], rot[ib]
-    dcA, dcB = dp[ia], dp[ib]
+    vA, wA, dcA, qA = unpack_rows(bs[ia])
+    vB, wB, dcB, qB = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -581,11 +587,12 @@ def sticky_velocity_pass(carry, k, cons: ContactCons, lfa, lfb, tangent_sep, sti
     from .common import gather_apply
 
     upd = (color == k) & cons.active & bmap.winner
-    del vA0, wA0, vB0, wB0
-    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
-    n_imp = jnp.where(upd[:, None], n_imp, carry[4])
-    t_imp = jnp.where(upd[:, None], t_imp, carry[5])
-    return (v, w, dp, rot, n_imp, t_imp, persisted)
+    outA = pack_rows(vA, wA, dcA, qA)
+    outB = pack_rows(vB, wB, dcB, qB)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    n_imp = jnp.where(upd[:, None], n_imp, carry[1])
+    t_imp = jnp.where(upd[:, None], t_imp, carry[2])
+    return (bs, n_imp, t_imp, persisted)
 
 
 # ------------------------------------------------------------------------ XPBD
@@ -593,12 +600,13 @@ def sticky_velocity_pass(carry, k, cons: ContactCons, lfa, lfb, tangent_sep, sti
 def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap):
     """s2SolveContactPositions_XPBD (xpbd.c:88-216): non-penetration lambda in
     position space then static-friction projection. Impulses are overwritten
-    (not accumulated) each call. carry = (dp, rot, n_imp, t_imp)."""
-    dp, rot, n_imp, t_imp = carry
+    (not accumulated) each call. carry = (bs, n_imp, t_imp)."""
+    from .common import pack_rows, unpack_rows
+
+    bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    dcA, dcB = dp[ia], dp[ib]
-    qA, qB = rot[ia], rot[ib]
-    dcA0, dcB0, qA0, qB0 = dcA, dcB, qA, qB
+    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
+    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -655,23 +663,24 @@ def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap):
 
     upd = (color == k) & cons.active & bmap.winner
     updn = upd[:, None]
-    del dcA0, dcB0, qA0, qB0
-    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA, qA), (dcB, qB), (dp, rot))
-    n_imp = jnp.where(updn, n_imp, carry[2])
-    t_imp = jnp.where(updn, t_imp, carry[3])
-    return (dp, rot, n_imp, t_imp)
+    outA = pack_rows(vA_r, wA_r, dcA, qA)
+    outB = pack_rows(vB_r, wB_r, dcB, qB)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    n_imp = jnp.where(updn, n_imp, carry[1])
+    t_imp = jnp.where(updn, t_imp, carry[2])
+    return (bs, n_imp, t_imp)
 
 
 def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap):
     """s2SolveContactVelocities_XPBD (xpbd.c:218-338): normal relaxation (only
     where a position lambda was applied) + kinetic friction via eq. 31 with
-    the paper's unit fix. carry = (v, w, dp, rot, n_imp, t_imp)."""
-    v, w, dp, rot, n_imp, t_imp = carry
+    the paper's unit fix. carry = (bs, n_imp, t_imp)."""
+    from .common import pack_rows, unpack_rows
+
+    bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA = v[ia], w[ia]
-    vB, wB = v[ib], w[ib]
-    vA0, wA0, vB0, wB0 = vA, wA, vB, wB
-    qA, qB = rot[ia], rot[ib]
+    vA, wA, dcA_r, qA = unpack_rows(bs[ia])
+    vB, wB, dcB_r, qB = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -722,7 +731,8 @@ def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap):
     from .common import gather_apply
 
     upd = (color == k) & cons.active & bmap.winner
-    del vA0, wA0, vB0, wB0
-    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
-    t_imp = jnp.where(upd[:, None], t_imp, carry[5])
-    return (v, w, dp, rot, n_imp, t_imp)
+    outA = pack_rows(vA, wA, dcA_r, qA)
+    outB = pack_rows(vB, wB, dcB_r, qB)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    t_imp = jnp.where(upd[:, None], t_imp, carry[2])
+    return (bs, n_imp, t_imp)

@@ -144,26 +144,28 @@ def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm
     return cons, imp
 
 
-def warm_start_pass(carry, k, cons: JointCons, imp: JointImp, bmap):
+def warm_start_pass(bs, k, cons: JointCons, imp: JointImp, bmap):
     """(revolute_joint.c:107-150, mouse_joint.c:85-107) — applied per color
-    via the body map (scatter-free)."""
-    from .common import gather_apply
+    via the body map (scatter-free). Packed body state."""
+    from .common import gather_apply, pack_rows, unpack_rows
 
-    v, w, dp, rot = carry[:4]
     ia, ib = cons.ia, cons.ib
-    qA, qB = rot[ia], rot[ib]
+    vA, wA, dcA, qA = unpack_rows(bs[ia])
+    vB, wB, dcB, qB = unpack_rows(bs[ib])
     rA = m.rotate(qA, cons.local_anchor_a)
     rB = m.rotate(qB, cons.local_anchor_b)
     axial = imp.motor + imp.lower - imp.upper
     axial = jnp.where(cons.is_mouse, imp.motor, axial)
     P = imp.impulse
 
-    vA2 = v[ia] - cons.inv_mass_a[:, None] * P
-    wA2 = w[ia] - cons.inv_i_a * (m.cross(rA, P) + axial)
-    vB2 = v[ib] + cons.inv_mass_b[:, None] * P
-    wB2 = w[ib] + cons.inv_i_b * (m.cross(rB, P) + axial)
-    v, w = gather_apply(bmap.slot[:, k], ia, (vA2, wA2), (vB2, wB2), (v, w))
-    return (v, w) + tuple(carry[2:])
+    vA2 = vA - cons.inv_mass_a[:, None] * P
+    wA2 = wA - cons.inv_i_a * (m.cross(rA, P) + axial)
+    vB2 = vB + cons.inv_mass_b[:, None] * P
+    wB2 = wB + cons.inv_i_b * (m.cross(rB, P) + axial)
+    outA = pack_rows(vA2, wA2, dcA, qA)
+    outB = pack_rows(vB2, wB2, dcB, qB)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    return bs
 
 
 def _motor_limits(cons, imp, wA, wB, qA, qB, h, inv_h, mode: str, use_bias: bool):
@@ -250,13 +252,12 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
     inertia: [B] body rotational inertias (for the mouse damping pseudo-motor).
     solve_mouse: mouse joints are skipped in soft relax passes
     (joint.c:390-397)."""
-    from .common import gather_apply
+    from .common import gather_apply, pack_rows, unpack_rows
 
-    v, w, dp, rot, imp = carry
+    bs, imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA = v[ia], w[ia]
-    vB, wB = v[ib], w[ib]
-    qA, qB = rot[ia], rot[ib]
+    vA, wA, dcA_r, qA = unpack_rows(bs[ia])
+    vB, wB, dcB_r, qB = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
 
@@ -272,9 +273,9 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
     rB = m.rotate(qB, cons.local_anchor_b)
     cdot = (vB + m.cross_sv(wB, rB)) - (vA + m.cross_sv(wA, rA))
 
-    separation = (dp[ib] - dp[ia]) + (rB - rA) + cons.center_diff0
+    separation = (dcB_r - dcA_r) + (rB - rA) + cons.center_diff0
     # mouse separation: dcB + rB + (cB0 - target) (mouse_joint.c:138-141)
-    separation = jnp.where(cons.is_mouse[:, None], dp[ib] + rB + cons.center_diff0, separation)
+    separation = jnp.where(cons.is_mouse[:, None], dcB_r + rB + cons.center_diff0, separation)
 
     if mode == "rigid":
         bias = jnp.zeros_like(cdot)
@@ -326,24 +327,27 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
 
     upd = (color == k) & scope & bmap.winner
     updn = upd[:, None]
-    v, w = gather_apply(bmap.slot[:, k], ia, (vA, wA), (vB, wB), (v, w))
+    outA = pack_rows(vA, wA, dcA_r, qA)
+    outB = pack_rows(vB, wB, dcB_r, qB)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
     imp_out = JointImp(
         impulse=jnp.where(updn, new_imp, imp.impulse),
         motor=jnp.where(upd, imp2.motor, imp.motor),
         lower=jnp.where(upd, imp2.lower, imp.lower),
         upper=jnp.where(upd, imp2.upper, imp.upper),
     )
-    return (v, w, dp, rot, imp_out)
+    return (bs, imp_out)
 
 
-def position_pass(carry, k, cons: JointCons, color, bmap):
+def position_pass(bs, k, cons: JointCons, color, bmap):
     """NGS joint position solve (revolute_joint.c:305-419): angular limit
     correction + point-to-point projection. Mouse joints are skipped
-    (joint.c:353-364). carry = (dp, rot)."""
-    dp, rot = carry
+    (joint.c:353-364). Packed body state."""
+    from .common import pack_rows, unpack_rows
+
     ia, ib = cons.ia, cons.ib
-    dcA, dcB = dp[ia], dp[ib]
-    qA, qB = rot[ia], rot[ib]
+    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
+    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     fixed_rot = (iA + iB) == 0.0
@@ -379,23 +383,27 @@ def position_pass(carry, k, cons: JointCons, color, bmap):
 
     from .common import gather_apply
 
+    # out-of-scope (mouse) joints must not change position state
+    rows0A = bs[ia]
+    rows0B = bs[ib]
+    outA = pack_rows(vA_r, wA_r, dcA, qA)
+    outB = pack_rows(vB_r, wB_r, dcB, qB)
     revn = rev[:, None]
-    dcA = jnp.where(revn, dcA, dp[ia])
-    dcB = jnp.where(revn, dcB, dp[ib])
-    qA = jnp.where(revn, qA, rot[ia])
-    qB = jnp.where(revn, qB, rot[ib])
-    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA, qA), (dcB, qB), (dp, rot))
-    return (dp, rot)
+    outA = jnp.where(revn, outA, rows0A)
+    outB = jnp.where(revn, outB, rows0B)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    return bs
 
 
-def xpbd_pass(carry, k, cons: JointCons, inv_h, color, bmap):
+def xpbd_pass(bs, k, cons: JointCons, inv_h, color, bmap):
     """XPBD scalar-distance projection (revolute_joint.c:825-888); mouse
     joints fall through to the regular mouse solve in the XPBD loop
-    (joint.c:450-465), handled by the caller. carry = (dp, rot)."""
-    dp, rot = carry
+    (joint.c:450-465), handled by the caller. Packed body state."""
+    from .common import pack_rows, unpack_rows
+
     ia, ib = cons.ia, cons.ib
-    dcA, dcB = dp[ia], dp[ib]
-    qA, qB = rot[ia], rot[ib]
+    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
+    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     rev = ~cons.is_mouse & cons.active & ((mA != 0.0) | (mB != 0.0))
@@ -421,13 +429,15 @@ def xpbd_pass(carry, k, cons: JointCons, inv_h, color, bmap):
 
     from .common import gather_apply
 
+    rows0A = bs[ia]
+    rows0B = bs[ib]
+    outA = pack_rows(vA_r, wA_r, dcA, qA)
+    outB = pack_rows(vB_r, wB_r, dcB, qB)
     revn = rev[:, None]
-    dcA = jnp.where(revn, dcA, dp[ia])
-    dcB = jnp.where(revn, dcB, dp[ib])
-    qA = jnp.where(revn, qA, rot[ia])
-    qB = jnp.where(revn, qB, rot[ib])
-    dp, rot = gather_apply(bmap.slot[:, k], ia, (dcA, qA), (dcB, qB), (dp, rot))
-    return (dp, rot)
+    outA = jnp.where(revn, outA, rows0A)
+    outB = jnp.where(revn, outB, rows0B)
+    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    return bs
 
 
 def store_impulses(joints: Joints, cons: JointCons, imp: JointImp) -> Joints:

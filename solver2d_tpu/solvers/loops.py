@@ -7,102 +7,103 @@ prepare/warm-start/integrate/finalize kernels from `common`.
 
 Signature: solve(bodies, contacts, joints, colors, gravity, dt, config) ->
 (bodies, contacts, joints), where colors = (ccolor, cmap, jcolor, jmap) is the
-per-step coloring + scatter-free body maps. Solver choice and iteration counts are
-static (from SimConfig), so each solver compiles to its own specialized
-program — the analog of the reference's `switch (solverType)` dispatch
-(reference: src/world.c:206-257).
+per-step coloring + scatter-free body maps (built in step.py).
+
+All per-body solver state is threaded as ONE packed [B, 8] array (see
+common.pack_body_state) so every colored pass costs two row-gathers and one
+mapped apply - TPU row-gathers dominate this workload, so minimizing their
+count is the main performance lever. Solver choice and iteration counts are
+static (from SimConfig): each solver compiles to its own specialized program,
+the analog of the reference's `switch (solverType)` (reference:
+src/world.c:206-257).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..config import CONTACT_HERTZ, JOINT_HERTZ, SimConfig, SolverType
 from ..ops import math2d as m
-from ..state import Bodies, Contacts, Joints
+from ..state import Bodies
 from . import contact_kernels as ck
 from . import joints as jk
 from .common import (
     colored_pass,
     finalize_positions,
-    integrate_positions,
-    integrate_velocities,
+    integrate_positions_packed,
+    integrate_velocities_packed,
     ngs_pass,
+    pack_body_state,
     prepare_contacts,
     store_impulses,
-    warm_start,
+    unpack_body_state,
+    warm_start_packed,
 )
 
-# carry layout threaded through all loops
-# (v, w, delta_pos, rot, n_imp, t_imp, joint_imp)
-#
-# `colors` bundles the per-step coloring and the scatter-free body maps:
-# (ccolor, cmap, jcolor, jmap) — built once per step in step.py.
+# carry layout threaded through all loops: (bs [B,8], n_imp, t_imp, joint_imp)
 
 
 def _contact_gs(st, colors, cfg, cons, mode, inv_h, use_bias):
-    ccolor, cmap, _, _ = colors
-    v, w, dp, rot, n, t, jimp = st
-    v, w, dp, rot, n, t = colored_pass(
+    ccolor, cmap = colors[0], colors[1]
+    bs, n, t, jimp = st
+    bs, n, t = colored_pass(
         cfg.max_colors,
         lambda c, k: ck.gs_contact_pass(c, k, cons, mode, inv_h, use_bias, ccolor, cmap),
-        (v, w, dp, rot, n, t),
+        (bs, n, t),
     )
-    return (v, w, dp, rot, n, t, jimp)
+    return (bs, n, t, jimp)
 
 
 def _joint_gs(st, colors, cfg, jcons, mode, h, inv_h, use_bias, inertia, solve_mouse=True, only_mouse=False):
-    _, _, jcolor, jmap = colors
-    v, w, dp, rot, n, t, jimp = st
-    v, w, dp, rot, jimp = colored_pass(
+    jcolor, jmap = colors[2], colors[3]
+    bs, n, t, jimp = st
+    bs, jimp = colored_pass(
         cfg.joint_max_colors,
         lambda c, k: jk.solve_pass(c, k, jcons, mode, h, inv_h, use_bias, inertia, jcolor, jmap, solve_mouse, only_mouse),
-        (v, w, dp, rot, jimp),
+        (bs, jimp),
     )
-    return (v, w, dp, rot, n, t, jimp)
+    return (bs, n, t, jimp)
 
 
 def _joint_warm(st, colors, cfg, jcons):
-    _, _, jcolor, jmap = colors
-    v, w, dp, rot, n, t, jimp = st
-    v, w, dp, rot = colored_pass(
+    jcolor, jmap = colors[2], colors[3]
+    bs, n, t, jimp = st
+    bs = colored_pass(
         cfg.joint_max_colors,
         lambda c, k: jk.warm_start_pass(c, k, jcons, jimp, jmap),
-        (v, w, dp, rot),
+        bs,
     )
-    return (v, w, dp, rot, n, t, jimp)
+    return (bs, n, t, jimp)
 
 
 def _joint_ngs(st, colors, cfg, jcons):
-    _, _, jcolor, jmap = colors
-    v, w, dp, rot, n, t, jimp = st
-    dp, rot = colored_pass(
+    jcolor, jmap = colors[2], colors[3]
+    bs, n, t, jimp = st
+    bs = colored_pass(
         cfg.joint_max_colors,
         lambda c, k: jk.position_pass(c, k, jcons, jcolor, jmap),
-        (dp, rot),
+        bs,
     )
-    return (v, w, dp, rot, n, t, jimp)
+    return (bs, n, t, jimp)
 
 
 def _contact_ngs(st, colors, cfg, cons):
-    _, cmap, _, _ = colors
-    v, w, dp, rot, n, t, jimp = st
-    dp, rot = colored_pass(
-        cfg.max_colors, lambda c, k: ngs_pass(c[0], c[1], cons, k, cmap), (dp, rot)
-    )
-    return (v, w, dp, rot, n, t, jimp)
+    cmap = colors[1]
+    bs, n, t, jimp = st
+    bs = colored_pass(cfg.max_colors, lambda c, k: ngs_pass(c, cons, k, cmap), bs)
+    return (bs, n, t, jimp)
 
 
 def _init(bodies: Bodies):
-    return bodies.v, bodies.w, bodies.delta_pos, bodies.rot
+    return pack_body_state(bodies.v, bodies.w, bodies.delta_pos, bodies.rot)
 
 
 def _finish(bodies, contacts, joints, cons, jcons, st):
-    v, w, dp, rot, n, t, jimp = st
+    bs, n, t, jimp = st
+    v, w, dp, rot = unpack_body_state(bs)
     bodies = finalize_positions(bodies, dp, rot, v, w)
     contacts = store_impulses(contacts, cons, n, t)
     joints = jk.store_impulses(joints, jcons, jimp)
@@ -111,15 +112,15 @@ def _finish(bodies, contacts, joints, cons, jcons, st):
 
 def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_pgs.c:125-213 (box2d_lite style)."""
-    h, inv_h = dt, jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
-    v, w, dp, rot = _init(bodies)
-    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    h = dt
+    inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    bs = _init(bodies)
+    bs = integrate_velocities_packed(bodies, bs, gravity, h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
-    st = (v, w, dp, rot, n, t, jimp)
+    st = (bs, n, t, jimp)
     if cfg.warm_start:
-        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
-        st = (v, w) + st[2:]
+        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
@@ -128,22 +129,21 @@ def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, it, st)
-    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
-    st = st[:2] + (dp, rot2) + st[4:]
+    st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
 def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_pgs_ngs.c:149-255."""
-    h, inv_h = dt, jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
-    v, w, dp, rot = _init(bodies)
-    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    h = dt
+    inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    bs = _init(bodies)
+    bs = integrate_velocities_packed(bodies, bs, gravity, h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
-    st = (v, w, dp, rot, n, t, jimp)
+    st = (bs, n, t, jimp)
     if cfg.warm_start:
-        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
-        st = (v, w) + st[2:]
+        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
@@ -152,8 +152,7 @@ def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, it, st)
-    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
-    st = st[:2] + (dp, rot2) + st[4:]
+    st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
 
     def pos_it(_, st):
         st = _joint_ngs(st, colors, cfg, jcons)
@@ -168,42 +167,39 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
     """reference: src/solve_pgs_ngs_block.c:892-963 (the default solver)."""
     h = dt
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
-    v, w, dp, rot = _init(bodies)
-    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    ccolor, cmap = colors[0], colors[1]
+    bs = _init(bodies)
+    bs = integrate_velocities_packed(bodies, bs, gravity, h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     vbias, kmat, bmass, use_block, pmask_eff = ck.prepare_block(cons, inv_h)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
-    st = (v, w, dp, rot, n, t, jimp)
+    st = (bs, n, t, jimp)
     # warm start is applied unconditionally inside solver creation
     # (block.c:281-319); impulses are zero when warm_start is off
-    v, w = warm_start(st[0], st[1], cons, n, t, fixed_anchors=True)
-    st = (v, w) + st[2:]
+    st = (warm_start_packed(st[0], cons, n, t, fixed_anchors=True),) + st[1:]
     st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
         st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
-        v, w, dp, rot, n, t, jimp = st
-        ccolor, cmap = colors[0], colors[1]
-        v, w, dp, rot, n, t = colored_pass(
+        bs, n, t, jimp = st
+        bs, n, t = colored_pass(
             cfg.max_colors,
             lambda c, k: ck.block_velocity_pass(c, k, cons, vbias, kmat, bmass, use_block, pmask_eff, ccolor, cmap),
-            (v, w, dp, rot, n, t),
+            (bs, n, t),
         )
-        return (v, w, dp, rot, n, t, jimp)
+        return (bs, n, t, jimp)
 
     st = jax.lax.fori_loop(0, cfg.iterations, it, st)
-    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
-    st = st[:2] + (dp, rot2) + st[4:]
+    st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
 
     def pos_it(_, st):
-        v, w, dp, rot, n, t, jimp = st
-        ccolor, cmap = colors[0], colors[1]
-        dp, rot = colored_pass(
+        bs, n, t, jimp = st
+        bs = colored_pass(
             cfg.max_colors,
             lambda c, k: ck.block_position_pass(c, k, cons, use_block, ccolor, cmap),
-            (dp, rot),
+            bs,
         )
-        st = (v, w, dp, rot, n, t, jimp)
+        st = (bs, n, t, jimp)
         st = _joint_ngs(st, colors, cfg, jcons)
         return st
 
@@ -217,14 +213,13 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.333 * inv_h)
     joint_hertz = jnp.minimum(JOINT_HERTZ, 0.5 * inv_h)
-    v, w, dp, rot = _init(bodies)
-    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    bs = _init(bodies)
+    bs = integrate_velocities_packed(bodies, bs, gravity, h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
-    st = (v, w, dp, rot, n, t, jimp)
+    st = (bs, n, t, jimp)
     if cfg.warm_start:
-        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
-        st = (v, w) + st[2:]
+        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
@@ -233,8 +228,7 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
         return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, it, st)
-    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
-    st = st[:2] + (dp, rot2) + st[4:]
+    st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
 
     def relax_it(_, st):
         st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
@@ -252,30 +246,26 @@ def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.333 * inv_h)
     joint_hertz = jnp.minimum(JOINT_HERTZ, 0.5 * inv_h)
-    v, w, dp, rot = _init(bodies)
-    v, w = integrate_velocities(bodies, v, w, gravity, h)
+    bs = _init(bodies)
+    bs = integrate_velocities_packed(bodies, bs, gravity, h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
-    st = (v, w, dp, rot, n, t, jimp)
+    st = (bs, n, t, jimp)
     if cfg.warm_start:
-        v, w = warm_start(st[0], st[1], cons, n, t, rot=rot)
-        st = (v, w) + st[2:]
+        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
-
-    dyn = (bodies.type == 2) & bodies.alive
 
     def it_factory(use_bias):
         def it(_, st):
             st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, use_bias, bodies.inertia, solve_mouse=use_bias)
-            v, w, dp, rot, n, t, jimp = st
-            v, w, n, t = ck.jacobi_contact_pass(v, w, dp, rot, cons, n, t, ck.JACOBI_SOFT, inv_h, use_bias, dyn)
-            return (v, w, dp, rot, n, t, jimp)
+            bs, n, t, jimp = st
+            bs, n, t = ck.jacobi_contact_pass(bs, cons, n, t, ck.JACOBI_SOFT, inv_h, use_bias)
+            return (bs, n, t, jimp)
 
         return it
 
     st = jax.lax.fori_loop(0, cfg.iterations, it_factory(True), st)
-    dp, rot2 = integrate_positions(bodies.alive, bodies.type, st[2], st[3], st[0], st[1], h)
-    st = st[:2] + (dp, rot2) + st[4:]
+    st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
     st = jax.lax.fori_loop(0, cfg.extra_iterations, it_factory(False), st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
@@ -290,25 +280,23 @@ def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, join
     contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.25 * inv_h)
     joint_hertz = jnp.minimum(JOINT_HERTZ, joint_hertz_factor * inv_h)
 
-    v, w, dp, rot = _init(bodies)
+    bs = _init(bodies)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=True)
-    st = (v, w, dp, rot, n, t, jimp)
+    st = (bs, n, t, jimp)
 
     def substep(_, st):
-        v, w, dp, rot, n, t, jimp = st
-        v, w = integrate_velocities(bodies, v, w, gravity, h)
-        st = (v, w, dp, rot, n, t, jimp)
+        bs, n, t, jimp = st
+        bs = integrate_velocities_packed(bodies, bs, gravity, h)
+        st = (bs, n, t, jimp)
         if cfg.warm_start:
             st = _joint_warm(st, colors, cfg, jcons)
-            v, w, dp, rot, n, t, jimp = st
-            v, w = warm_start(v, w, cons, n, t, rot=rot, fixed_anchors=fixed_warm)
-            st = (v, w, dp, rot, n, t, jimp)
+            bs, n, t, jimp = st
+            bs = warm_start_packed(bs, cons, n, t, fixed_anchors=fixed_warm)
+            st = (bs, n, t, jimp)
         st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
         st = _contact_gs(st, colors, cfg, cons, mode, inv_h, True)
-        v, w, dp, rot, n, t, jimp = st
-        dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
-        st = (v, w, dp, rot, n, t, jimp)
+        st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
         if cfg.extra_iterations > 0:
             st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
             st = _contact_gs(st, colors, cfg, cons, mode, inv_h, False)
@@ -332,25 +320,23 @@ def solve_tgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
     """reference: src/solve_tgs_ngs.c:207-317."""
     h = dt / cfg.iterations
     inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
-    v, w, dp, rot = _init(bodies)
+    bs = _init(bodies)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
-    st = (v, w, dp, rot, n, t, jimp)
+    st = (bs, n, t, jimp)
 
     def substep(_, st):
-        v, w, dp, rot, n, t, jimp = st
-        v, w = integrate_velocities(bodies, v, w, gravity, h)
-        st = (v, w, dp, rot, n, t, jimp)
+        bs, n, t, jimp = st
+        bs = integrate_velocities_packed(bodies, bs, gravity, h)
+        st = (bs, n, t, jimp)
         if cfg.warm_start:
             st = _joint_warm(st, colors, cfg, jcons)
-            v, w, dp, rot, n, t, jimp = st
-            v, w = warm_start(v, w, cons, n, t, rot=rot)
-            st = (v, w, dp, rot, n, t, jimp)
+            bs, n, t, jimp = st
+            bs = warm_start_packed(bs, cons, n, t)
+            st = (bs, n, t, jimp)
         st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
         st = _contact_gs(st, colors, cfg, cons, ck.TGS_RIGID, inv_h, True)
-        v, w, dp, rot, n, t, jimp = st
-        dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
-        st = (v, w, dp, rot, n, t, jimp)
+        st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
         st = _joint_ngs(st, colors, cfg, jcons)
         st = _contact_ngs(st, colors, cfg, cons)
         return st
@@ -364,54 +350,54 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
     friction anchors; relax iterations AFTER positions are finalized."""
     h = dt / cfg.iterations
     inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
-    v, w, dp, rot = _init(bodies)
+    ccolor, cmap = colors[0], colors[1]
+    bs = _init(bodies)
     # sticky has no warm starting for contacts (sticky.c:59-60)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=False)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
     lfa, lfb, tsep, stm, fric_store = ck.prepare_sticky(bodies.position, contacts, cons, bodies.rot)
     fric_persisted = jnp.ones_like(cons.active)
 
-    ccolor, cmap = colors[0], colors[1]
-
-    def sticky_gs(st, use_bias):
-        v, w, dp, rot, n, t, jimp, fp = st
-        v, w, dp, rot, n, t, fp = colored_pass(
+    def sticky_gs(st5, use_bias):
+        bs, n, t, jimp, fp = st5
+        bs, n, t, fp = colored_pass(
             cfg.max_colors,
             lambda c, k: ck.sticky_velocity_pass(c, k, cons, lfa, lfb, tsep, stm, inv_h, use_bias, ccolor, cmap),
-            (v, w, dp, rot, n, t, fp),
+            (bs, n, t, fp),
         )
-        return (v, w, dp, rot, n, t, jimp, fp)
+        return (bs, n, t, jimp, fp)
 
-    st = (v, w, dp, rot, n, t, jimp, fric_persisted)
+    st = (bs, n, t, jimp, fric_persisted)
 
     def substep(_, st):
-        v, w, dp, rot, n, t, jimp, fp = st
-        v, w = integrate_velocities(bodies, v, w, gravity, h)
-        st7 = (v, w, dp, rot, n, t, jimp)
-        st7 = _joint_gs(st7, colors, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
-        st = st7 + (fp,)
+        bs, n, t, jimp, fp = st
+        bs = integrate_velocities_packed(bodies, bs, gravity, h)
+        st4 = (bs, n, t, jimp)
+        st4 = _joint_gs(st4, colors, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
+        st = st4 + (fp,)
         st = sticky_gs(st, True)
-        v, w, dp, rot, n, t, jimp, fp = st
-        dp, rot = integrate_positions(bodies.alive, bodies.type, dp, rot, v, w, h)
-        return (v, w, dp, rot, n, t, jimp, fp)
+        st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
+        return st
 
     st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
 
     # finalize positions, then relax with zeroed deltas (sticky.c:389-410)
-    v, w, dp, rot, n, t, jimp, fp = st
+    bs, n, t, jimp, fp = st
+    v, w, dp, rot = unpack_body_state(bs)
     bodies_out = finalize_positions(bodies, dp, rot, v, w)
-    dp0 = jnp.zeros_like(dp)
-    st = (v, w, dp0, rot, n, t, jimp, fp)
+    bs = pack_body_state(v, w, jnp.zeros_like(dp), rot)
+    st = (bs, n, t, jimp, fp)
 
     def relax(_, st):
-        v, w, dp, rot, n, t, jimp, fp = st
-        st7 = (v, w, dp, rot, n, t, jimp)
-        st7 = _joint_gs(st7, colors, cfg, jcons, "baumgarte", h, inv_h, False, bodies.inertia)
-        st = st7 + (fp,)
+        bs, n, t, jimp, fp = st
+        st4 = (bs, n, t, jimp)
+        st4 = _joint_gs(st4, colors, cfg, jcons, "baumgarte", h, inv_h, False, bodies.inertia)
+        st = st4 + (fp,)
         return sticky_gs(st, False)
 
     st = jax.lax.fori_loop(0, cfg.extra_iterations, relax, st)
-    v, w, dp, rot, n, t, jimp, fp = st
+    bs, n, t, jimp, fp = st
+    v, w, _, _ = unpack_body_state(bs)
 
     bodies_out = dataclasses.replace(bodies_out, v=v, w=w)
     contacts = store_impulses(contacts, cons, n, t)
@@ -430,7 +416,8 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_xpbd.c:342-530 (Mueller et al. 2020)."""
     h = dt / cfg.iterations
     inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
-    v, w, dp, rot = _init(bodies)
+    ccolor, cmap, jcolor, jmap = colors
+    bs = _init(bodies)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=False)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
 
@@ -438,48 +425,50 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     dyn = bodies.alive & (bodies.type == 2)
 
     def substep(_, st):
-        v, w, dp, rot, n, t, jimp = st
+        bs, n, t, jimp = st
         # integrate velocities AND positions immediately (xpbd.c:408-449)
-        v, w = integrate_velocities(bodies, v, w, gravity, h)
+        bs = integrate_velocities_packed(bodies, bs, gravity, h)
+        v, w, dp, rot = unpack_body_state(bs)
         rot0 = rot
         dp0 = dp
         dp = jnp.where(moving[:, None], dp + h * v, dp)
         rot = jnp.where(moving[:, None], m.integrate_rot(rot, h * w), rot)
+        bs = pack_body_state(v, w, dp, rot)
 
         # joint position projection (+ mouse velocity solve, joint.c:450-465)
-        jcolor, jmap = colors[2], colors[3]
-        dp, rot = colored_pass(
+        bs = colored_pass(
             cfg.joint_max_colors,
             lambda c, k: jk.xpbd_pass(c, k, jcons, inv_h, jcolor, jmap),
-            (dp, rot),
+            bs,
         )
-        # mouse joints get their regular velocity solve here (joint.c:450-465)
-        st7 = (v, w, dp, rot, n, t, jimp)
-        st7 = _joint_gs(st7, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia, solve_mouse=True, only_mouse=True)
-        v, w, dp, rot, n, t, jimp = st7
+        st4 = (bs, n, t, jimp)
+        st4 = _joint_gs(st4, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia, solve_mouse=True, only_mouse=True)
+        bs, n, t, jimp = st4
 
         # contact position projection
-        ccolor, cmap = colors[0], colors[1]
-        dp, rot, n, t = colored_pass(
+        bs, n, t = colored_pass(
             cfg.max_colors,
             lambda c, k: ck.xpbd_position_pass(c, k, cons, h, ccolor, cmap),
-            (dp, rot, n, t),
+            (bs, n, t),
         )
 
         # derive velocities (xpbd.c:465-489)
+        v, w, dp, rot = unpack_body_state(bs)
         v = jnp.where(dyn[:, None], inv_h * (dp - dp0), v)
         w = jnp.where(dyn, m.compute_angular_velocity(rot0, rot, inv_h), w)
+        bs = pack_body_state(v, w, dp, rot)
 
         # relax contact velocities
-        v, w, dp, rot, n, t = colored_pass(
+        bs, n, t = colored_pass(
             cfg.max_colors,
             lambda c, k: ck.xpbd_velocity_pass(c, k, cons, h, inv_h, ccolor, cmap),
-            (v, w, dp, rot, n, t),
+            (bs, n, t),
         )
-        return (v, w, dp, rot, n, t, jimp)
+        return (bs, n, t, jimp)
 
-    st = jax.lax.fori_loop(0, cfg.iterations, substep, (v, w, dp, rot, n, t, jimp))
-    v, w, dp, rot, n, t, jimp = st
+    st = jax.lax.fori_loop(0, cfg.iterations, substep, (bs, n, t, jimp))
+    bs, n, t, jimp = st
+    v, w, dp, rot = unpack_body_state(bs)
 
     # finalize only dynamic bodies (xpbd.c:497-512)
     position = jnp.where(dyn[:, None], bodies.position + dp, bodies.position)
@@ -503,7 +492,7 @@ SOLVERS = {
     SolverType.PGS_SOFT: solve_pgs_soft,
     SolverType.SOFT_STEP: solve_soft_step,
     SolverType.TGS_STICKY: solve_tgs_sticky,
-    SolverType.TGS_SOFT: solve_tgs_soft,
     SolverType.TGS_NGS: solve_tgs_ngs,
+    SolverType.TGS_SOFT: solve_tgs_soft,
     SolverType.XPBD: solve_xpbd,
 }

@@ -109,7 +109,10 @@ def step(state: State, dt, config: SimConfig) -> State:
     # Stage 1: pair update using last step's fat AABBs
     shape_body_type = jnp.where(shapes.alive, bodies.type[shapes.body], 0)
     jointed = broadphase.jointed_body_keys(state.joints, config)
-    pairs = broadphase.find_pairs(shapes, bodies.type, jointed, config)
+    if config.broadphase == "grid":
+        pairs = broadphase.find_pairs_grid(shapes, bodies.type, jointed, config)
+    else:
+        pairs = broadphase.find_pairs(shapes, bodies.type, jointed, config)
     contacts = broadphase.match_contacts(state.contacts, pairs, shapes, bodies.type, shapes.body)
 
     # Stage 3a: narrowphase

@@ -318,7 +318,26 @@ class World:
         # max contact density for convex shapes
         ndyn = sum(1 for s in self.shapes if self.bodies[s.body].def_.type == BodyType.DYNAMIC)
         nc = _round(max(64, 8 * max(ndyn, 1)), 64)
-        cfg = SimConfig(solver=self.solver, max_bodies=nb, max_shapes=ns, max_contacts=nc, max_joints=nj)
+
+        # auto-size the broadphase grid: cell fits the typical dynamic shape's
+        # fat AABB (extent + speculative/margin padding); larger shapes go to
+        # the big list
+        extents = []
+        for s in self.shapes:
+            if not s.alive:
+                continue
+            g = s.geom
+            v = g.verts[: g.count]
+            ext = float(max(v[:, 0].max() - v[:, 0].min(), v[:, 1].max() - v[:, 1].min()) + 2 * g.radius)
+            pad = 2 * (AABB_MARGIN + 2 * SPECULATIVE_DISTANCE)
+            extents.append((ext + pad, self.bodies[s.body].def_.type == BodyType.DYNAMIC))
+        dyn_ext = sorted(e for e, d in extents if d) or [1.0]
+        cell = max(0.3, 1.05 * dyn_ext[int(0.9 * (len(dyn_ext) - 1))])
+        n_big = sum(1 for e, _ in extents if e > cell)
+        cfg = SimConfig(
+            solver=self.solver, max_bodies=nb, max_shapes=ns, max_contacts=nc, max_joints=nj,
+            grid_cell=cell, max_big_shapes=_round(n_big + 4, 4),
+        )
         return cfg.replace(**overrides) if overrides else cfg
 
     def freeze(self, config: Optional[SimConfig] = None, **overrides) -> tuple[State, SimConfig]:

@@ -1,0 +1,238 @@
+"""Behavioral parity envelopes vs the C reference on multi-contact scenes.
+
+Colored GS is not bitwise-equal to the reference's sequential sweeps on dense
+contact graphs, so parity here is behavioral (SURVEY.md §7 'Hard parts'):
+per-solver penetration/recovery/energy metrics must land in the same envelope
+as the reference run with identical settings.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+import numpy as np
+import pytest
+
+import ref_oracle as oracle
+from solver2d_tpu import BodyType, SolverType, World
+from solver2d_tpu.ops import geometry
+from solver2d_tpu.step import step as step_fn
+from solver2d_tpu.utils.metrics import kinetic_energy
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="C oracle unavailable")
+
+
+def build_overlap(n=3):
+    """Small overlap-recovery pyramid (reference: sample_contact.cpp:368-418)."""
+    def ours(solver):
+        w = World(solver=solver)
+        g = w.create_body(type=BodyType.STATIC)
+        w.create_segment_shape(g, (-40.0, 0.0), (40.0, 0.0))
+        ids = []
+        extent, overlap = 0.5, 0.25
+        fraction = 1.0 - overlap
+        y = extent
+        for i in range(n):
+            x = fraction * extent * (i - n)
+            for j in range(i, n):
+                b = w.create_body(type=BodyType.DYNAMIC, position=(x, y))
+                w.create_polygon_shape(b, geometry.square(extent))
+                ids.append(b)
+                x += 2.0 * fraction * extent
+            y += 2.0 * fraction * extent
+        return w, ids
+
+    def ref(solver):
+        rw = oracle.RefWorld(int(solver))
+        g = rw.create_body(type=0)
+        rw.create_segment_shape(g, (-40.0, 0.0), (40.0, 0.0))
+        ids = []
+        extent, overlap = 0.5, 0.25
+        fraction = 1.0 - overlap
+        y = extent
+        for i in range(n):
+            x = fraction * extent * (i - n)
+            for j in range(i, n):
+                ids.append(rw.create_body(type=2, position=(x, y)))
+                rw.create_polygon_shape(ids[-1], geometry.square(extent))
+                x += 2.0 * fraction * extent
+            y += 2.0 * fraction * extent
+        return rw, ids
+
+    return ours, ref
+
+
+def rollout(state, cfg, nsteps):
+    f = jax.jit(lambda s: jax.lax.scan(lambda s2, _: (step_fn(s2, 1.0 / 60.0, cfg), None), s, None, length=nsteps)[0])
+    return f(state)
+
+
+@pytest.mark.parametrize("solver", list(SolverType), ids=lambda s: s.name)
+def test_overlap_recovery_envelope(solver):
+    """Each solver's recovery must land near the reference's: same box count
+    ends standing, final heights within tolerance."""
+    ours_b, ref_b = build_overlap(3)
+    w, ids = ours_b(solver)
+    state, cfg = w.freeze(max_colors=8)
+    out = rollout(state, cfg, 120)
+    ys = np.sort(np.asarray(out.bodies.position[np.array(ids), 1]))
+
+    rw, rids = ref_b(solver)
+    for _ in range(120):
+        rw.step()
+    ref_ys = np.sort(rw.positions()[rids][:, 1])
+    rw.close()
+
+    assert np.isfinite(ys).all()
+    if ref_ys.min() < 0.3 or ref_ys.max() > 10.0:
+        # The reference itself ejects violently here (Jacobi does: our run
+        # reproduces its explosion heights to ~1e-2). Match the outcome class
+        # and magnitude, not exact positions.
+        np.testing.assert_allclose(ys, ref_ys, rtol=0.2, atol=5.0)
+        return
+    # Deep-overlap ejection is chaotic and ordering-sensitive (colored GS is a
+    # different but equally valid ordering), so a couple of boxes may settle
+    # differently; the bulk of the pile must match the reference.
+    err = np.abs(ys - ref_ys)
+    assert np.median(err) < 0.3, f"median height error {err}"
+    assert (err > 0.9).sum() <= 1, f"too many boxes in wrong layer: {err}"
+    assert ys.min() > 0.3  # everything above ground
+
+
+@pytest.mark.parametrize(
+    "solver", [SolverType.TGS_SOFT, SolverType.PGS_NGS_BLOCK, SolverType.PGS_SOFT],
+    ids=lambda s: s.name,
+)
+def test_resting_stack_energy_decays(solver):
+    """Relax-pass solvers must not gain energy at rest (the warm-start
+    overshoot problem the relax pass exists to fix)."""
+    w = World(solver=solver)
+    g = w.create_body(type=BodyType.STATIC, position=(0, -1))
+    w.create_polygon_shape(g, geometry.box(10, 1))
+    for i in range(3):
+        b = w.create_body(type=BodyType.DYNAMIC, position=(0, 0.5 + 1.02 * i))
+        w.create_polygon_shape(b, geometry.box(0.5, 0.5))
+    state, cfg = w.freeze(max_colors=8)
+    settled = rollout(state, cfg, 120)
+    ke_settled = float(kinetic_energy(settled))
+    later = rollout(settled, cfg, 60)
+    ke_later = float(kinetic_energy(later))
+    assert ke_settled < 1e-3
+    assert ke_later < 1e-3
+
+
+def test_friction_ordering():
+    """Boxes sliding down a ramp: lower friction slides farther
+    (reference scene: Friction Ramp, sample_contact.cpp:301-366)."""
+    w = World(solver=SolverType.TGS_SOFT)
+    g = w.create_body(type=BodyType.STATIC)
+    w.create_polygon_shape(g, geometry.offset_box(13.0, 0.25, (0.0, 0.0), -0.25), friction=0.2)
+    frictions = [0.6, 0.25, 0.05]
+    ids = []
+    for i, mu in enumerate(frictions):
+        # spawn spread along the ramp so the boxes never touch each other
+        x = -10.0 + 3.5 * i
+        y = -0.2553 * x + 0.75
+        b = w.create_body(type=BodyType.DYNAMIC, position=(x, y), angle=-0.25)
+        w.create_polygon_shape(b, geometry.box(0.4, 0.4), friction=mu, density=25.0)
+        ids.append(b)
+    state, cfg = w.freeze(max_colors=8)
+    spawn_x = np.asarray(state.bodies.position[np.array(ids), 0])
+    out = rollout(state, cfg, 150)
+    xs = np.asarray(out.bodies.position[np.array(ids), 0])
+    slid = xs - spawn_x  # downhill is +x on this ramp
+    assert slid[2] > slid[1] > slid[0], f"friction ordering violated: {slid}"
+    assert slid[2] > 0.5  # the near-frictionless box must actually slide
+
+
+def test_far_origin_parity():
+    """Far Pyramid (origin 100000,-80000) must behave like the near version —
+    the float32 local-frame formulations must hold (sample_far.cpp:16-30)."""
+    def build(origin):
+        ox, oy = origin
+        w = World(solver=SolverType.TGS_SOFT)
+        g = w.create_body(type=BodyType.STATIC, position=(ox, oy - 1.0))
+        w.create_polygon_shape(g, geometry.box(100.0, 1.0))
+        ids = []
+        h, shift = 0.5, 1.25 * 0.5
+        for i in range(3):
+            y = (2.0 * i + 1.0) * shift + 0.5
+            for j in range(i, 3):
+                x = (i + 1.0) * shift + 2.0 * (j - i) * shift - 0.5 * 3
+                b = w.create_body(type=BodyType.DYNAMIC, position=(x + ox, y + oy))
+                w.create_polygon_shape(b, geometry.square(h))
+                ids.append(b)
+        return w.freeze(max_colors=8), ids, origin
+
+    (s_near, cfg), ids, _ = build((0.0, 0.0))
+    (s_far, _), ids_f, origin = build((100000.0, -80000.0))
+    near = rollout(s_near, cfg, 90)
+    far = rollout(s_far, cfg, 90)
+    near_rel = np.asarray(near.bodies.position[np.array(ids)])
+    far_rel = np.asarray(far.bodies.position[np.array(ids_f)]) - np.asarray(origin)
+    # float32 ulp at 1e5 is ~0.0078 — allow a few ulps of drift per axis
+    np.testing.assert_allclose(far_rel, near_rel, atol=0.06)
+    assert float(far.diag.max_penetration) < 0.05
+
+
+def test_vmap_batch_matches_single():
+    """Batched stepping must equal per-world stepping exactly."""
+    from solver2d_tpu.parallel import batch_states, batched_step
+
+    def build(vy):
+        w = World(solver=SolverType.PGS_SOFT)
+        g = w.create_body(type=BodyType.STATIC, position=(0, -1))
+        w.create_polygon_shape(g, geometry.box(10, 1))
+        b = w.create_body(type=BodyType.DYNAMIC, position=(0, 2.0), linear_velocity=(0.3, vy))
+        w.create_polygon_shape(b, geometry.box(0.5, 0.5))
+        return w.freeze(max_colors=4)
+
+    states = []
+    cfg = None
+    for vy in (0.0, -1.0, 2.0, 0.5):
+        s, cfg = build(vy)
+        states.append(s)
+    batch = batch_states(states)
+    bstep = batched_step(cfg)
+    import jax.numpy as jnp
+
+    for _ in range(30):
+        batch = bstep(batch, jnp.float32(1 / 60))
+    singles = []
+    f = jax.jit(lambda s: step_fn(s, 1 / 60, cfg))
+    for s in states:
+        for _ in range(30):
+            s = f(s)
+        singles.append(s)
+    for i, s in enumerate(singles):
+        np.testing.assert_allclose(
+            np.asarray(batch.bodies.position[i]), np.asarray(s.bodies.position), atol=1e-6
+        )
+
+
+def test_sharded_batch_matches_unsharded():
+    """NamedSharding over the worlds mesh must not change results."""
+    from solver2d_tpu.parallel import make_mesh, replicate_state, shard_state, sharded_step, batched_step
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    w = World(solver=SolverType.TGS_SOFT)
+    g = w.create_body(type=BodyType.STATIC, position=(0, -1))
+    w.create_polygon_shape(g, geometry.box(10, 1))
+    b = w.create_body(type=BodyType.DYNAMIC, position=(0.1, 1.0))
+    w.create_polygon_shape(b, geometry.box(0.5, 0.5))
+    state, cfg = w.freeze(max_colors=4)
+
+    batch = replicate_state(state, 16)
+    plain = batched_step(cfg)(batch, jnp.float32(1 / 60))
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = shard_state(replicate_state(state, 16), mesh)
+    sstep = sharded_step(cfg, mesh)
+    out = sstep(sharded, jnp.float32(1 / 60))
+    np.testing.assert_allclose(
+        np.asarray(out.bodies.position), np.asarray(plain.bodies.position), atol=1e-6
+    )

@@ -1,0 +1,48 @@
+"""Large-scene sanity: the headline workloads build and step without
+capacity overflow (Pyramid 100 -> 5050 boxes; Joint Grid lattice)."""
+
+import jax
+import numpy as np
+import pytest
+
+from solver2d_tpu import SolverType
+from solver2d_tpu.models.contact_scenes import pyramid_world
+from solver2d_tpu.models.joint_scenes import joint_grid
+from solver2d_tpu.step import step as step_fn
+
+
+def rollout(state, cfg, n):
+    f = jax.jit(lambda s: jax.lax.scan(lambda s2, _: (step_fn(s2, 1.0 / 60.0, cfg), None), s, None, length=n)[0])
+    return f(state)
+
+
+def test_pyramid_100_builds():
+    """The release-build headline scene (sample_contact.cpp:527-531)."""
+    w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=100)
+    assert len(ids) == 5050
+    state, cfg = w.freeze(max_contacts=4 * 5050, sap_window=32)
+    assert int(state.bodies.alive.sum()) == 5051
+
+
+def test_pyramid_30_steps_stably():
+    w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=30)  # 465 boxes
+    state, cfg = w.freeze(max_contacts=2048, sap_window=32, max_colors=16)
+    out = rollout(state, cfg, 60)
+    pos = np.asarray(out.bodies.position)
+    assert np.isfinite(pos).all()
+    assert not bool(out.diag.pair_overflow), "SAP window overflow"
+    assert int(out.diag.color_overflow) == 0, "coloring overflow"
+    assert float(out.diag.max_penetration) < 0.05
+    ys = pos[np.array(ids), 1]
+    assert ys.min() > 0.3  # no box fell through the ground
+
+
+def test_joint_grid_20_steps_stably():
+    scene = joint_grid(SolverType.TGS_SOFT, numk=20, numi=20)  # 400 bodies, 760 joints
+    state, cfg = scene.freeze(max_colors=8, joint_max_colors=8)
+    out = rollout(state, cfg, 30)
+    pos = np.asarray(out.bodies.position)
+    assert np.isfinite(pos).all()
+    from solver2d_tpu.utils.metrics import joint_error
+
+    assert float(joint_error(out)) < 0.5
