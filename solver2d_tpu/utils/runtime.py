@@ -69,3 +69,62 @@ def teleport_bodies(state: State, body_idxs, positions, reset_velocity=True) -> 
             delta_pos=b.delta_pos.at[body_idxs].set(0.0),
         )
     return dataclasses.replace(state, bodies=dataclasses.replace(b, **kw))
+
+
+# --- runtime body manipulation (reference: src/body.c:316-384 setters and
+# force/impulse application, solver2d.h:38-42) ---
+
+def set_linear_velocity(state: State, body_idx, v) -> State:
+    b = state.bodies
+    return dataclasses.replace(
+        state, bodies=dataclasses.replace(b, v=b.v.at[body_idx].set(jnp.asarray(v, jnp.float32)))
+    )
+
+
+def set_angular_velocity(state: State, body_idx, w) -> State:
+    b = state.bodies
+    return dataclasses.replace(
+        state, bodies=dataclasses.replace(b, w=b.w.at[body_idx].set(jnp.float32(w)))
+    )
+
+
+def apply_force_to_center(state: State, body_idx, force) -> State:
+    """Accumulates into the per-step force, cleared at finalize
+    (reference: s2Body_ApplyForceToCenter)."""
+    b = state.bodies
+    return dataclasses.replace(
+        state, bodies=dataclasses.replace(b, force=b.force.at[body_idx].add(jnp.asarray(force, jnp.float32)))
+    )
+
+
+def apply_linear_impulse(state: State, body_idx, impulse, point) -> State:
+    """v += impulse/m; w += cross(point - com, impulse)/I
+    (reference: s2Body_ApplyLinearImpulse)."""
+    b = state.bodies
+    impulse = jnp.asarray(impulse, jnp.float32)
+    point = jnp.asarray(point, jnp.float32)
+    r = point - b.position[body_idx]
+    v = b.v.at[body_idx].add(b.inv_mass[body_idx] * impulse)
+    w = b.w.at[body_idx].add(b.inv_inertia[body_idx] * (r[0] * impulse[1] - r[1] * impulse[0]))
+    return dataclasses.replace(state, bodies=dataclasses.replace(b, v=v, w=w))
+
+
+def set_transform(state: State, body_idx, position, angle) -> State:
+    """s2Body_SetTransform: move the body origin and orientation; the center
+    of mass follows."""
+    from ..ops import math2d as m
+
+    b = state.bodies
+    position = jnp.asarray(position, jnp.float32)
+    rot = m.make_rot(jnp.float32(angle))
+    com = position + m.rotate(rot, b.local_center[body_idx])
+    return dataclasses.replace(
+        state,
+        bodies=dataclasses.replace(
+            b,
+            origin=b.origin.at[body_idx].set(position),
+            position=b.position.at[body_idx].set(com),
+            rot=b.rot.at[body_idx].set(rot),
+            rot0=b.rot0.at[body_idx].set(rot),
+        ),
+    )
