@@ -25,9 +25,9 @@ def main():
     from solver2d_tpu.parallel import replicate_state
     from solver2d_tpu.step import step
 
-    worlds = int(os.environ.get("S2_BENCH_WORLDS", "1024"))
+    worlds = int(os.environ.get("S2_BENCH_WORLDS", "512"))
     base = int(os.environ.get("S2_BENCH_BASE", "62"))  # base 62 -> 1953 bodies (~2k)
-    steps = int(os.environ.get("S2_BENCH_STEPS", "30"))
+    steps = int(os.environ.get("S2_BENCH_STEPS", "20"))
     solver = SolverType[os.environ.get("S2_BENCH_SOLVER", "TGS_SOFT")]
 
     w, ids = pyramid_world(solver, base_count=base)
