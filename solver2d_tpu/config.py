@@ -105,6 +105,11 @@ class SimConfig:
     cell_capacity: int = 8       # max small shapes per cell
     max_big_shapes: int = 16     # shapes larger than a cell (grounds, ramps)
 
+    # Fused Pallas solver: run the entire TGS_Soft substep loop in one VMEM-
+    # resident TPU kernel (solvers/pallas_solver.py). Only valid for scenes
+    # without joints; VMEM bounds max_bodies*max_contacts at ~1M.
+    use_pallas_solver: bool = False
+
     # Graph coloring: number of independent constraint batches for the
     # Gauss-Seidel sweeps. Contacts left uncolored after MAX_COLORS-1 rounds
     # land in the final bucket which may have conflicts (solved Jacobi-like);

@@ -158,9 +158,10 @@ def prepare_contacts(bodies: Bodies, contacts: Contacts, *, h, hertz, soft: bool
     nm, tm = _effective_masses(rA, rB, normal, mA, iA, mB, iB)
 
     if soft:
-        # stiffer vs statics (solve_common.c:219)
-        contact_hertz = jnp.where((mA == 0.0) | (mB == 0.0), 2.0 * hertz, hertz)[:, None]
-        omega = 2.0 * PI * contact_hertz
+        # stiffer vs statics (solve_common.c:219); coefficients are per
+        # contact but stored per point ([C,2]) like the reference
+        contact_hertz = jnp.where((mA == 0.0) | (mB == 0.0), 2.0 * hertz, hertz)
+        omega = (2.0 * PI * contact_hertz)[:, None] * jnp.ones((1, 2), jnp.float32)
         c = h * omega * (2.0 * CONTACT_ZETA + h * omega)
         bias_coef = omega / (2.0 * CONTACT_ZETA + h * omega)
         imp_coef = 1.0 / (1.0 + c)

@@ -308,7 +308,30 @@ def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, join
 
 def solve_tgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg):
     """reference: src/solve_tgs_soft.c:138-280 (became Box2D v3's solver)."""
+    if cfg.use_pallas_solver:
+        return _solve_tgs_soft_pallas(bodies, contacts, joints, colors, gravity, dt, cfg)
     return _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, ck.TGS_SOFT, 0.125, fixed_warm=False)
+
+
+def _solve_tgs_soft_pallas(bodies, contacts, joints, colors, gravity, dt, cfg):
+    """Fused VMEM path (solvers/pallas_solver.py): contacts only — scenes with
+    joints must use the XLA path (enforced at freeze)."""
+    import jax as _jax
+
+    from .pallas_solver import tgs_soft_contact_solve
+
+    h = dt / cfg.iterations
+    inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
+    contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.25 * inv_h)
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
+    bs0 = _init(bodies)
+    ccolor, cmap = colors[0], colors[1]
+    interpret = _jax.default_backend() not in ("tpu", "axon")
+    bs, n, t = tgs_soft_contact_solve(
+        bodies, bs0, n, t, cons, gravity, ccolor, cmap, h, inv_h, cfg, interpret=interpret
+    )
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
+    return _finish(bodies, contacts, joints, cons, jcons, (bs, n, t, jimp))
 
 
 def solve_soft_step(bodies, contacts, joints, colors, gravity, dt, cfg):

@@ -1,0 +1,272 @@
+"""Fused Pallas TPU solver kernel: the whole TGS_Soft substep loop in VMEM.
+
+The XLA path executes ~100 small gather/compute/apply segments per step, each
+round-tripping body state through HBM; TPU row-gathers carry a large fixed
+per-row cost (measured: ~100ms per [256x8192] row-gather vs ~0 for
+elementwise — see CLAUDE.md). This kernel removes both costs for the solver
+stage:
+
+- grid = (worlds,): one world per program instance;
+- packed body state [B, 8] and all contact-constraint arrays stay in VMEM for
+  the entire substep loop (integrate -> warm start -> biased solve ->
+  integrate positions -> relax, reference: src/solve_tgs_soft.c:208-269);
+- gathers become MXU matmuls against one-hot incidence matrices built once in
+  VMEM scratch: rowsA = Oa[C,B] @ bs[B,8]; the color-k apply is
+  (Sk ∧ OaT)[B,C] @ outA[C,8] + (Sk ∧ ObT)[B,C] @ outB[C,8]; warm starting is
+  OaT @ dA + ObT @ dB. One-hot rows have exactly one nonzero, so results are
+  bitwise-equal to the gather formulation (adding exact zeros).
+
+Per-contact math reuses `contact_kernels.solve_contact_core` — the exact same
+jnp code as the XLA path, so physics cannot diverge between backends.
+
+Feasible sizes: the incidence matrices are [C, B] f32 x2, so VMEM (~16MB)
+bounds B*C at roughly 1M (e.g. 512 bodies x 2048 contacts) — the many-small-
+worlds RL-datagen regime. Enable with SimConfig(use_pallas_solver=True)
+(contacts only; worlds with live joints fall back to the XLA path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from . import contact_kernels as ck
+from .common import ContactCons, pack_rows, unpack_rows
+
+
+def _kernel(
+    # scalar params [1,1] f32 in SMEM
+    h_ref, inv_h_ref,
+    # per-world inputs (VMEM)
+    bs_ref,            # [B, 8]
+    gravity_ref,       # [1, 2]
+    body_dyn_ref,      # [B, 1] f32 1.0 if integrate (dynamic & alive)
+    body_move_ref,     # [B, 1] f32 1.0 if non-static (position integrate)
+    inv_mass_ref,      # [B, 1]
+    mass_grav_ref,     # [B, 2] mass*gravity_scale*gravity + force, premultiplied
+    inv_i_tau_ref,     # [B, 1] inv_I * torque
+    damp_lin_ref,      # [B, 1] 1/(1+h*lin_damping)
+    damp_ang_ref,      # [B, 1] 1/(1+h*ang_damping)
+    ia_ref, ib_ref,    # [C, 1] i32
+    cons_f_ref,        # [C, NF] packed per-contact f32 constraint fields
+    pmask_ref,         # [C, 2] f32
+    active_ref,        # [C, 1] f32
+    color_ref,         # [C, 1] i32
+    slot_ref,          # [B, NCOL] i32
+    winner_ref,        # [C, 1] f32
+    n_imp0_ref, t_imp0_ref,  # [C, 2]
+    # outputs
+    bs_out_ref, n_out_ref, t_out_ref,
+    # scratch
+    oa_ref, ob_ref,    # [C, B] one-hot f32
+    oat_ref, obt_ref,  # [B, C]
+    *, B, C, n_colors, substeps, relax, warm_start, mode,
+):
+    h = h_ref[0, 0]
+    inv_h = inv_h_ref[0, 0]
+
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (C, B), 1)
+    ia = ia_ref[:, 0]
+    ib = ib_ref[:, 0]
+    active = active_ref[:, 0] > 0.0
+    winner = winner_ref[:, 0] > 0.0
+    oa_ref[:, :] = (ia[:, None] == iota_b).astype(jnp.float32)
+    ob_ref[:, :] = (ib[:, None] == iota_b).astype(jnp.float32)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)   # column index c
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)  # row index b
+    oat_ref[:, :] = (iota_row == ia[None, :]).astype(jnp.float32)
+    obt_ref[:, :] = (iota_row == ib[None, :]).astype(jnp.float32)
+
+    # unpack the constraint-field matrix (columns fixed by pack order below)
+    f = cons_f_ref[:, :]
+    cons = ContactCons(
+        ia=ia, ib=ib,
+        inv_mass_a=f[:, 0], inv_i_a=f[:, 1], inv_mass_b=f[:, 2], inv_i_b=f[:, 3],
+        normal=f[:, 4:6], friction=f[:, 6], active=active,
+        pmask=pmask_ref[:, :] > 0.0,
+        local_anchor_a=jnp.stack([f[:, 7:9], f[:, 9:11]], axis=1),
+        local_anchor_b=jnp.stack([f[:, 11:13], f[:, 13:15]], axis=1),
+        r_a0=jnp.stack([f[:, 15:17], f[:, 17:19]], axis=1),
+        r_b0=jnp.stack([f[:, 19:21], f[:, 21:23]], axis=1),
+        separation=f[:, 23:25], adjusted_separation=f[:, 25:27],
+        normal_mass=f[:, 27:29], tangent_mass=f[:, 29:31],
+        bias_coef=f[:, 31:33], mass_coef=f[:, 33:35], imp_coef=f[:, 35:37],
+    )
+
+    color = color_ref[:, 0]
+
+    def gather_rows(bs):
+        rows_a = jnp.dot(oa_ref[:, :], bs, preferred_element_type=jnp.float32)
+        rows_b = jnp.dot(ob_ref[:, :], bs, preferred_element_type=jnp.float32)
+        return rows_a, rows_b
+
+    def color_apply(bs, k, out_a, out_b):
+        slot_k = slot_ref[:, k]  # [B]
+        valid = slot_k >= 0
+        sk = (iota_c == jnp.maximum(slot_k, 0)[:, None]).astype(jnp.float32)
+        sk = sk * valid[:, None].astype(jnp.float32)
+        ma = sk * oat_ref[:, :]
+        mb = sk * obt_ref[:, :]
+        new_rows = jnp.dot(ma, out_a, preferred_element_type=jnp.float32) + jnp.dot(
+            mb, out_b, preferred_element_type=jnp.float32
+        )
+        return jnp.where(valid[:, None], new_rows, bs)
+
+    def contact_color_loop(bs, n_imp, t_imp, use_bias):
+        def body(k, carry):
+            bs, n_imp, t_imp = carry
+            rows_a, rows_b = gather_rows(bs)
+            vA, wA, dcA, qA = unpack_rows(rows_a)
+            vB, wB, dcB, qB = unpack_rows(rows_b)
+            vA2, wA2, vB2, wB2, n2, t2 = ck.solve_contact_core(
+                cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
+            )
+            upd = (color == k) & active & winner
+            out_a = pack_rows(vA2, wA2, dcA, qA)
+            out_b = pack_rows(vB2, wB2, dcB, qB)
+            bs = color_apply(bs, k, out_a, out_b)
+            n_imp = jnp.where(upd[:, None], n2, n_imp)
+            t_imp = jnp.where(upd[:, None], t2, t_imp)
+            return (bs, n_imp, t_imp)
+
+        return jax.lax.fori_loop(0, n_colors, body, (bs, n_imp, t_imp))
+
+    def warm(bs, n_imp, t_imp):
+        # current rotated anchors (TGS_Soft, solve_common.c:276-326)
+        rows_a, rows_b = gather_rows(bs)
+        _, _, _, qA = unpack_rows(rows_a)
+        _, _, _, qB = unpack_rows(rows_b)
+        from ..ops import math2d as m
+
+        rA = m.rotate(qA[:, None, :], cons.local_anchor_a)
+        rB = m.rotate(qB[:, None, :], cons.local_anchor_b)
+        tangent = m.right_perp(cons.normal)
+        P = n_imp[..., None] * cons.normal[:, None, :] + t_imp[..., None] * tangent[:, None, :]
+        P = jnp.where(cons.pmask[..., None] & active[:, None, None], P, 0.0)
+        P_tot = P.sum(axis=1)
+        tq_a = m.cross(rA, P).sum(axis=1)
+        tq_b = m.cross(rB, P).sum(axis=1)
+        zc = jnp.zeros((C, 2), jnp.float32)
+        z1 = jnp.zeros((C, 1), jnp.float32)
+        dA = jnp.concatenate([-cons.inv_mass_a[:, None] * P_tot, (-cons.inv_i_a * tq_a)[:, None], zc, zc, z1], axis=-1)
+        dB = jnp.concatenate([cons.inv_mass_b[:, None] * P_tot, (cons.inv_i_b * tq_b)[:, None], zc, zc, z1], axis=-1)
+        delta = jnp.dot(oat_ref[:, :], dA, preferred_element_type=jnp.float32) + jnp.dot(
+            obt_ref[:, :], dB, preferred_element_type=jnp.float32
+        )
+        return bs + delta
+
+    def integrate_velocities(bs):
+        v = bs[:, 0:2]
+        w = bs[:, 2:3]
+        dyn = body_dyn_ref[:, :]
+        v2 = (v + h * inv_mass_ref[:, :] * mass_grav_ref[:, :]) * damp_lin_ref[:, :]
+        w2 = (w + h * inv_i_tau_ref[:, :]) * damp_ang_ref[:, :]
+        v = v + dyn * (v2 - v)
+        w = w + dyn * (w2 - w)
+        return jnp.concatenate([v, w, bs[:, 3:]], axis=-1)
+
+    def integrate_positions(bs):
+        from ..ops import math2d as m
+
+        v, w, dp, rot = bs[:, 0:2], bs[:, 2:3], bs[:, 3:5], bs[:, 5:7]
+        mv = body_move_ref[:, :]
+        dp = dp + mv * h * v
+        rot2 = m.integrate_rot(rot, h * w[:, 0])
+        rot = rot + mv * (rot2 - rot)
+        return jnp.concatenate([v, w, dp, rot, bs[:, 7:8]], axis=-1)
+
+    def substep(_, carry):
+        bs, n_imp, t_imp = carry
+        bs = integrate_velocities(bs)
+        if warm_start:
+            bs = warm(bs, n_imp, t_imp)
+        bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, True)
+        bs = integrate_positions(bs)
+        if relax:
+            bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, False)
+        return (bs, n_imp, t_imp)
+
+    bs0 = bs_ref[:, :]
+    n0 = n_imp0_ref[:, :]
+    t0 = t_imp0_ref[:, :]
+    bs, n_imp, t_imp = jax.lax.fori_loop(0, substeps, substep, (bs0, n0, t0))
+    bs_out_ref[:, :] = bs
+    n_out_ref[:, :] = n_imp
+    t_out_ref[:, :] = t_imp
+
+
+def pack_cons_fields(cons: ContactCons):
+    """Flatten the per-contact f32 constraint fields into one [C, 37] matrix
+    (column order must match the kernel's unpack)."""
+    cols = [
+        cons.inv_mass_a[:, None], cons.inv_i_a[:, None],
+        cons.inv_mass_b[:, None], cons.inv_i_b[:, None],
+        cons.normal, cons.friction[:, None],
+        cons.local_anchor_a[:, 0], cons.local_anchor_a[:, 1],
+        cons.local_anchor_b[:, 0], cons.local_anchor_b[:, 1],
+        cons.r_a0[:, 0], cons.r_a0[:, 1],
+        cons.r_b0[:, 0], cons.r_b0[:, 1],
+        cons.separation, cons.adjusted_separation,
+        cons.normal_mass, cons.tangent_mass,
+        cons.bias_coef, cons.mass_coef, cons.imp_coef,
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def tgs_soft_contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
+                           ccolor, cmap, h, inv_h, cfg: SimConfig, interpret=False):
+    """Run the fused substep loop for one world. Returns (bs, n_imp, t_imp)."""
+    B = cfg.max_bodies
+    C = cfg.max_contacts
+    mode = ck.TGS_SOFT
+
+    dyn = ((bodies.type == 2) & bodies.alive).astype(jnp.float32)[:, None]
+    move = ((bodies.type != 0) & bodies.alive).astype(jnp.float32)[:, None]
+    mass_grav = bodies.force + bodies.mass[:, None] * bodies.gravity_scale[:, None] * gravity[None, :]
+    inv_i_tau = (bodies.inv_inertia * bodies.torque)[:, None]
+    damp_lin = (1.0 / (1.0 + h * bodies.linear_damping))[:, None]
+    damp_ang = (1.0 / (1.0 + h * bodies.angular_damping))[:, None]
+
+    kernel = partial(
+        _kernel, B=B, C=C, n_colors=cfg.max_colors, substeps=cfg.iterations,
+        relax=cfg.extra_iterations > 0, warm_start=cfg.warm_start, mode=mode,
+    )
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 8), jnp.float32),
+            jax.ShapeDtypeStruct((C, 2), jnp.float32),
+            jax.ShapeDtypeStruct((C, 2), jnp.float32),
+        ),
+        in_specs=[smem(), smem()] + [vmem()] * 19,
+        out_specs=(vmem(), vmem(), vmem()),
+        scratch_shapes=[
+            pltpu.VMEM((C, B), jnp.float32),
+            pltpu.VMEM((C, B), jnp.float32),
+            pltpu.VMEM((B, C), jnp.float32),
+            pltpu.VMEM((B, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.full((1, 1), h, jnp.float32), jnp.full((1, 1), inv_h, jnp.float32),
+        bs0, gravity[None, :], dyn, move,
+        bodies.inv_mass[:, None], mass_grav, inv_i_tau, damp_lin, damp_ang,
+        cons.ia[:, None], cons.ib[:, None],
+        pack_cons_fields(cons),
+        cons.pmask.astype(jnp.float32),
+        cons.active.astype(jnp.float32)[:, None],
+        ccolor[:, None],
+        cmap.slot,
+        cmap.winner.astype(jnp.float32)[:, None],
+        n_imp0, t_imp0,
+    )
+    return out

@@ -351,6 +351,11 @@ class World:
 
         if self.defer_mass:
             self._batch_compute_mass()
+        if config.use_pallas_solver:
+            assert not self.joints, "use_pallas_solver supports contact-only scenes"
+            assert config.max_bodies * config.max_contacts <= (1 << 20), (
+                "use_pallas_solver: incidence matrices exceed VMEM; reduce capacities"
+            )
 
         state = State.zeros(config)
         nb, ns, nj = len(self.bodies), len(self.shapes), len(self.joints)
