@@ -54,6 +54,13 @@ TGS_SOFT = SolveMode(True, True, "soft", soft_clamp=1.0)
 TGS_RIGID = SolveMode(True, True, "spec_only")
 
 
+def _pt(x, j):
+    """Per-point field access: rank-3 [C,2,...] arrays in the XLA path, or
+    2-tuples of rank-2 arrays inside Pallas kernels (Mosaic cannot slice the
+    minor dims of rank-3 tiles)."""
+    return x[j] if isinstance(x, (tuple, list)) else x[:, j]
+
+
 def solve_contact_core(cons: ContactCons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode: SolveMode, inv_h, use_bias: bool):
     """Solve one contact's normal+friction constraints (vectorized [C]).
 
@@ -65,18 +72,18 @@ def solve_contact_core(cons: ContactCons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_im
 
     def anchors(j):
         if mode.current_vel_anchors:
-            return m.rotate(qA, cons.local_anchor_a[:, j]), m.rotate(qB, cons.local_anchor_b[:, j])
-        return cons.r_a0[:, j], cons.r_b0[:, j]
+            return m.rotate(qA, _pt(cons.local_anchor_a, j)), m.rotate(qB, _pt(cons.local_anchor_b, j))
+        return _pt(cons.r_a0, j), _pt(cons.r_b0, j)
 
     def current_sep(j):
         if not mode.sep_from_delta:
-            return cons.separation[:, j]
-        rsA = m.rotate(qA, cons.local_anchor_a[:, j])
-        rsB = m.rotate(qB, cons.local_anchor_b[:, j])
+            return _pt(cons.separation, j)
+        rsA = m.rotate(qA, _pt(cons.local_anchor_a, j))
+        rsB = m.rotate(qB, _pt(cons.local_anchor_b, j))
         ds = (dcB - dcA) + (rsB - rsA)
-        return (ds * normal).sum(-1) + cons.adjusted_separation[:, j]
+        return (ds * normal).sum(-1) + _pt(cons.adjusted_separation, j)
 
-    def normal_point(j, vA, wA, vB, wB, n_imp):
+    def normal_point(j, vA, wA, vB, wB):
         rA, rB = anchors(j)
         s = current_sep(j)
 
@@ -89,11 +96,11 @@ def solve_contact_core(cons: ContactCons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_im
             mass_scale = jnp.ones_like(s)
             imp_scale = jnp.zeros_like(s)
         elif mode.bias == "soft":
-            bias_pen = jnp.maximum(cons.bias_coef[:, j] * s, -mode.soft_clamp * MAX_BAUMGARTE_VELOCITY)
+            bias_pen = jnp.maximum(_pt(cons.bias_coef, j) * s, -mode.soft_clamp * MAX_BAUMGARTE_VELOCITY)
             if use_bias:
                 bias = jnp.where(spec, s * inv_h, bias_pen)
-                mass_scale = jnp.where(spec, 1.0, cons.mass_coef[:, j])
-                imp_scale = jnp.where(spec, 0.0, cons.imp_coef[:, j])
+                mass_scale = jnp.where(spec, 1.0, _pt(cons.mass_coef, j))
+                imp_scale = jnp.where(spec, 0.0, _pt(cons.imp_coef, j))
             else:
                 bias = jnp.where(spec, s * inv_h, 0.0)
                 mass_scale = jnp.ones_like(s)
@@ -110,10 +117,10 @@ def solve_contact_core(cons: ContactCons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_im
         vr = (vB + m.cross_sv(wB, rB)) - (vA + m.cross_sv(wA, rA))
         vn = (vr * normal).sum(-1)
 
-        old = n_imp[:, j]
-        impulse = -cons.normal_mass[:, j] * mass_scale * (vn + bias) - imp_scale * old
+        old = n_cols[j]
+        impulse = -_pt(cons.normal_mass, j) * mass_scale * (vn + bias) - imp_scale * old
         new_total = jnp.maximum(old + impulse, 0.0)
-        ok = cons.pmask[:, j]
+        ok = _pt(cons.pmask, j)
         new_total = jnp.where(ok, new_total, old)
         d = new_total - old
         if not mode.speculation:
@@ -121,50 +128,55 @@ def solve_contact_core(cons: ContactCons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_im
             # un-applying it (solve_pgs_ngs.c:86-91 `continue`)
             new_total = jnp.where(spec & ok, 0.0, new_total)
             d = jnp.where(spec, 0.0, d)
-        n_imp = n_imp.at[:, j].set(new_total)
+        # column update (no .at scatter: must lower inside Pallas/Mosaic)
+        n_cols[j] = new_total
 
         P = d[:, None] * normal
         vA = vA - mA[:, None] * P
         wA = wA - iA * m.cross(rA, P)
         vB = vB + mB[:, None] * P
         wB = wB + iB * m.cross(rB, P)
-        return vA, wA, vB, wB, n_imp
+        return vA, wA, vB, wB
 
-    def friction_point(j, vA, wA, vB, wB, t_imp):
+    def friction_point(j, vA, wA, vB, wB):
         rA, rB = anchors(j)
         vr = (vB + m.cross_sv(wB, rB)) - (vA + m.cross_sv(wA, rA))
         vt = (vr * tangent).sum(-1)
-        lam = -cons.tangent_mass[:, j] * vt
-        max_f = cons.friction * n_imp[:, j]
-        old = t_imp[:, j]
+        lam = -_pt(cons.tangent_mass, j) * vt
+        max_f = cons.friction * n_cols[j]
+        old = t_cols[j]
         new_total = jnp.clip(old + lam, -max_f, max_f)
-        ok = cons.pmask[:, j]
+        ok = _pt(cons.pmask, j)
         new_total = jnp.where(ok, new_total, old)
         d = new_total - old
         if not mode.speculation:
-            s = cons.separation[:, j]
+            s = _pt(cons.separation, j)
             new_total = jnp.where((s > 0.0) & ok, 0.0, new_total)
             d = jnp.where(s > 0.0, 0.0, d)
-        t_imp = t_imp.at[:, j].set(new_total)
+        t_cols[j] = new_total
 
         P = d[:, None] * tangent
         vA = vA - mA[:, None] * P
         wA = wA - iA * m.cross(rA, P)
         vB = vB + mB[:, None] * P
         wB = wB + iB * m.cross(rB, P)
-        return vA, wA, vB, wB, t_imp
+        return vA, wA, vB, wB
 
+    n_cols = [n_imp[:, 0], n_imp[:, 1]]
+    t_cols = [t_imp[:, 0], t_imp[:, 1]]
     if mode.friction_first:
         for j in range(2):
-            vA, wA, vB, wB, t_imp = friction_point(j, vA, wA, vB, wB, t_imp)
+            vA, wA, vB, wB = friction_point(j, vA, wA, vB, wB)
         for j in range(2):
-            vA, wA, vB, wB, n_imp = normal_point(j, vA, wA, vB, wB, n_imp)
+            vA, wA, vB, wB = normal_point(j, vA, wA, vB, wB)
     else:
         for j in range(2):
-            vA, wA, vB, wB, n_imp = normal_point(j, vA, wA, vB, wB, n_imp)
+            vA, wA, vB, wB = normal_point(j, vA, wA, vB, wB)
         for j in range(2):
-            vA, wA, vB, wB, t_imp = friction_point(j, vA, wA, vB, wB, t_imp)
+            vA, wA, vB, wB = friction_point(j, vA, wA, vB, wB)
 
+    n_imp = jnp.stack(n_cols, axis=-1)
+    t_imp = jnp.stack(t_cols, axis=-1)
     return vA, wA, vB, wB, n_imp, t_imp
 
 

@@ -57,7 +57,8 @@ def _kernel(
     pmask_ref,         # [C, 2] f32
     active_ref,        # [C, 1] f32
     color_ref,         # [C, 1] i32
-    slot_ref,          # [B, NCOL] i32
+    slot_ref,          # [NCOL, B] i32 (colors leading: lane-dim dynamic
+                       # indexing is not supported by Mosaic)
     winner_ref,        # [C, 1] f32
     n_imp0_ref, t_imp0_ref,  # [C, 2]
     # outputs
@@ -82,20 +83,23 @@ def _kernel(
     oat_ref[:, :] = (iota_row == ia[None, :]).astype(jnp.float32)
     obt_ref[:, :] = (iota_row == ib[None, :]).astype(jnp.float32)
 
-    # unpack the constraint-field matrix (columns fixed by pack order below)
+    # unpack the constraint-field matrix (columns fixed by pack order below).
+    # Per-point fields become 2-TUPLES of rank-2 arrays: Mosaic cannot slice
+    # the minor dims of rank-3 tiles (see contact_kernels._pt).
     f = cons_f_ref[:, :]
+    two = lambda a, b: (a, b)
     cons = ContactCons(
         ia=ia, ib=ib,
         inv_mass_a=f[:, 0], inv_i_a=f[:, 1], inv_mass_b=f[:, 2], inv_i_b=f[:, 3],
         normal=f[:, 4:6], friction=f[:, 6], active=active,
-        pmask=pmask_ref[:, :] > 0.0,
-        local_anchor_a=jnp.stack([f[:, 7:9], f[:, 9:11]], axis=1),
-        local_anchor_b=jnp.stack([f[:, 11:13], f[:, 13:15]], axis=1),
-        r_a0=jnp.stack([f[:, 15:17], f[:, 17:19]], axis=1),
-        r_b0=jnp.stack([f[:, 19:21], f[:, 21:23]], axis=1),
-        separation=f[:, 23:25], adjusted_separation=f[:, 25:27],
-        normal_mass=f[:, 27:29], tangent_mass=f[:, 29:31],
-        bias_coef=f[:, 31:33], mass_coef=f[:, 33:35], imp_coef=f[:, 35:37],
+        pmask=two(pmask_ref[:, 0] > 0.0, pmask_ref[:, 1] > 0.0),
+        local_anchor_a=two(f[:, 7:9], f[:, 9:11]),
+        local_anchor_b=two(f[:, 11:13], f[:, 13:15]),
+        r_a0=two(f[:, 15:17], f[:, 17:19]),
+        r_b0=two(f[:, 19:21], f[:, 21:23]),
+        separation=two(f[:, 23], f[:, 24]), adjusted_separation=two(f[:, 25], f[:, 26]),
+        normal_mass=two(f[:, 27], f[:, 28]), tangent_mass=two(f[:, 29], f[:, 30]),
+        bias_coef=two(f[:, 31], f[:, 32]), mass_coef=two(f[:, 33], f[:, 34]), imp_coef=two(f[:, 35], f[:, 36]),
     )
 
     color = color_ref[:, 0]
@@ -106,16 +110,17 @@ def _kernel(
         return rows_a, rows_b
 
     def color_apply(bs, k, out_a, out_b):
-        slot_k = slot_ref[:, k]  # [B]
-        valid = slot_k >= 0
+        slot_k = slot_ref[k, :]  # [B]
+        # keep masks f32: Mosaic only supports minor-dim inserts on 32-bit
+        valid_f = (slot_k >= 0).astype(jnp.float32)[:, None]
         sk = (iota_c == jnp.maximum(slot_k, 0)[:, None]).astype(jnp.float32)
-        sk = sk * valid[:, None].astype(jnp.float32)
+        sk = sk * valid_f
         ma = sk * oat_ref[:, :]
         mb = sk * obt_ref[:, :]
         new_rows = jnp.dot(ma, out_a, preferred_element_type=jnp.float32) + jnp.dot(
             mb, out_b, preferred_element_type=jnp.float32
         )
-        return jnp.where(valid[:, None], new_rows, bs)
+        return bs + valid_f * (new_rows - bs)
 
     def contact_color_loop(bs, n_imp, t_imp, use_bias):
         def body(k, carry):
@@ -126,31 +131,36 @@ def _kernel(
             vA2, wA2, vB2, wB2, n2, t2 = ck.solve_contact_core(
                 cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
             )
-            upd = (color == k) & active & winner
+            updf = ((color == k) & active & winner).astype(jnp.float32)[:, None]
             out_a = pack_rows(vA2, wA2, dcA, qA)
             out_b = pack_rows(vB2, wB2, dcB, qB)
             bs = color_apply(bs, k, out_a, out_b)
-            n_imp = jnp.where(upd[:, None], n2, n_imp)
-            t_imp = jnp.where(upd[:, None], t2, t_imp)
+            n_imp = n_imp + updf * (n2 - n_imp)
+            t_imp = t_imp + updf * (t2 - t_imp)
             return (bs, n_imp, t_imp)
 
         return jax.lax.fori_loop(0, n_colors, body, (bs, n_imp, t_imp))
 
     def warm(bs, n_imp, t_imp):
-        # current rotated anchors (TGS_Soft, solve_common.c:276-326)
+        # current rotated anchors (TGS_Soft, solve_common.c:276-326);
+        # per-point loop keeps everything rank-2 for Mosaic
+        from ..ops import math2d as m
+
         rows_a, rows_b = gather_rows(bs)
         _, _, _, qA = unpack_rows(rows_a)
         _, _, _, qB = unpack_rows(rows_b)
-        from ..ops import math2d as m
-
-        rA = m.rotate(qA[:, None, :], cons.local_anchor_a)
-        rB = m.rotate(qB[:, None, :], cons.local_anchor_b)
         tangent = m.right_perp(cons.normal)
-        P = n_imp[..., None] * cons.normal[:, None, :] + t_imp[..., None] * tangent[:, None, :]
-        P = jnp.where(cons.pmask[..., None] & active[:, None, None], P, 0.0)
-        P_tot = P.sum(axis=1)
-        tq_a = m.cross(rA, P).sum(axis=1)
-        tq_b = m.cross(rB, P).sum(axis=1)
+        P_tot = jnp.zeros((C, 2), jnp.float32)
+        tq_a = jnp.zeros((C,), jnp.float32)
+        tq_b = jnp.zeros((C,), jnp.float32)
+        for j in range(2):
+            maskp = pmask_ref[:, j] * active_ref[:, 0]
+            Pj = (n_imp[:, j] * maskp)[:, None] * cons.normal + (t_imp[:, j] * maskp)[:, None] * tangent
+            rAj = m.rotate(qA, cons.local_anchor_a[j])
+            rBj = m.rotate(qB, cons.local_anchor_b[j])
+            P_tot = P_tot + Pj
+            tq_a = tq_a + m.cross(rAj, Pj)
+            tq_b = tq_b + m.cross(rBj, Pj)
         zc = jnp.zeros((C, 2), jnp.float32)
         z1 = jnp.zeros((C, 1), jnp.float32)
         dA = jnp.concatenate([-cons.inv_mass_a[:, None] * P_tot, (-cons.inv_i_a * tq_a)[:, None], zc, zc, z1], axis=-1)
@@ -265,7 +275,7 @@ def tgs_soft_contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravi
         cons.pmask.astype(jnp.float32),
         cons.active.astype(jnp.float32)[:, None],
         ccolor[:, None],
-        cmap.slot,
+        cmap.slot.T,
         cmap.winner.astype(jnp.float32)[:, None],
         n_imp0, t_imp0,
     )
