@@ -135,10 +135,12 @@ def _search_direction(w, count):
     return jnp.where(count == 1, d1, d2)
 
 
-def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib) -> GJKOutput:
+def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib, max_iters: int = MAX_ITERS) -> GJKOutput:
     """Single-pair GJK in a common frame; vmap over the contact batch.
 
-    verts_a/verts_b: [8,2] padded; cache_*: warm-start simplex features."""
+    verts_a/verts_b: [8,2] padded; cache_*: warm-start simplex features.
+    max_iters: support-call budget (the reference uses 20, distance.c:504;
+    8-12 suffices for <=8-vertex shapes and is markedly cheaper on TPU)."""
 
     def vert(verts, idx):
         return verts[idx]
@@ -204,7 +206,7 @@ def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib) -> 
 
     iters0 = jnp.zeros((), jnp.int32)
     carry = (wa, wb, w, ia, ib, bary, count, jnp.zeros((), bool), iters0)
-    wa, wb, w, ia, ib, bary, count, done, iters = jax.lax.fori_loop(0, MAX_ITERS, body, carry)
+    wa, wb, w, ia, ib, bary, count, done, iters = jax.lax.fori_loop(0, max_iters, body, carry)
 
     # Final simplex solve: the loop body solves at the top of each trip, so if
     # the trip budget ran out right after an append the last vertex has no

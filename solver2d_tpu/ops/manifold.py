@@ -137,6 +137,7 @@ def collide(
     vb, nb, cb, rb,        # shape B in its own frame
     pa, qa, pb, qb,        # body origin transforms
     cache_count, cache_ia, cache_ib,
+    gjk_iters: int = 20,
 ) -> ManifoldOut:
     """Unified narrowphase for one shape pair (vmap over contacts)."""
     # Put B into A's frame (reference: manifold.c:515-525)
@@ -149,7 +150,7 @@ def collide(
     is_circle_b = cb == 1
 
     # --- GJK (always; provides distance, witness, cache) ---
-    out = gjk_mod.gjk(va, ca, vb_l, cb, cache_count, cache_ia, cache_ib)
+    out = gjk_mod.gjk(va, ca, vb_l, cb, cache_count, cache_ia, cache_ib, max_iters=gjk_iters)
     dist = out.distance
 
     # ---------- circle-circle path (manifold.c:16-48) ----------

@@ -31,14 +31,14 @@ from .solvers.loops import SOLVERS
 from .state import Contacts, Diagnostics, State
 
 
-def update_manifolds(state: State, contacts: Contacts) -> Contacts:
+def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20) -> Contacts:
     """Batched narrowphase over the contact table + warm-start id matching
     (reference: src/contact.c:296-359)."""
     shapes = state.shapes
     bodies = state.bodies
     sa, sb = contacts.shape_a, contacts.shape_b
 
-    out = jax.vmap(manifold.collide)(
+    out = jax.vmap(partial(manifold.collide, gjk_iters=gjk_iters))(
         shapes.verts[sa], shapes.normals[sa], shapes.count[sa], shapes.radius[sa],
         shapes.verts[sb], shapes.normals[sb], shapes.count[sb], shapes.radius[sb],
         bodies.origin[contacts.body_a], bodies.rot[contacts.body_a],
@@ -116,7 +116,7 @@ def step(state: State, dt, config: SimConfig) -> State:
     contacts = broadphase.match_contacts(state.contacts, pairs, shapes, bodies.type, shapes.body)
 
     # Stage 3a: narrowphase
-    contacts = update_manifolds(state, contacts)
+    contacts = update_manifolds(state, contacts, gjk_iters=config.gjk_iters)
 
     # coloring (contacts and joints separately; they solve in separate
     # passes) + the scatter-free body maps (see ops/coloring.py)
