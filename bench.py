@@ -36,6 +36,7 @@ def main():
     state, cfg = w.freeze(
         max_contacts=((4 * len(ids) + 127) // 128) * 128,
         max_colors=16,
+        gjk_iters=10,
     )
 
     vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
