@@ -25,8 +25,8 @@ def main():
     from solver2d_tpu.parallel import replicate_state
     from solver2d_tpu.step import step
 
-    worlds = int(os.environ.get("S2_BENCH_WORLDS", "512"))
-    base = int(os.environ.get("S2_BENCH_BASE", "62"))  # base 62 -> 1953 bodies (~2k)
+    worlds = int(os.environ.get("S2_BENCH_WORLDS", "128"))
+    base = int(os.environ.get("S2_BENCH_BASE", "20"))  # north-star config: BASE=62 (~2k bodies), WORLDS=4096
     steps = int(os.environ.get("S2_BENCH_STEPS", "20"))
     solver = SolverType[os.environ.get("S2_BENCH_SOLVER", "TGS_SOFT")]
 

@@ -128,3 +128,23 @@ def set_transform(state: State, body_idx, position, angle) -> State:
             rot0=b.rot0.at[body_idx].set(rot),
         ),
     )
+
+
+def destroy_joint(state: State, joint_idx: int) -> State:
+    """Disable a joint (s2DestroyJoint)."""
+    j = state.joints
+    return dataclasses.replace(
+        state, joints=dataclasses.replace(j, alive=j.alive.at[joint_idx].set(False))
+    )
+
+
+def destroy_shape(state: State, shape_idx: int) -> State:
+    """Disable a shape and its contacts (the body keeps its other shapes;
+    mass properties are NOT recomputed — matching a teleported-away shape
+    rather than s2ComputeMass, which host-side rebuilds can do exactly)."""
+    s = state.shapes
+    shapes = dataclasses.replace(s, alive=s.alive.at[shape_idx].set(False))
+    con = state.contacts
+    dead = (con.shape_a == shape_idx) | (con.shape_b == shape_idx)
+    contacts = dataclasses.replace(con, alive=con.alive & ~dead)
+    return dataclasses.replace(state, shapes=shapes, contacts=contacts)
