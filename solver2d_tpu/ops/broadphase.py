@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AABB_MARGIN, SPECULATIVE_DISTANCE, SimConfig
+from .gather import tgather
 from ..state import Contacts, Shapes
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
@@ -85,9 +86,9 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     sort_key = jnp.where(alive, lo, jnp.inf)
     order = jnp.argsort(sort_key)  # [S]
 
-    lo_s = lo[order]
-    hi_s = hi[order]
-    fat_s = fat[order]
+    lo_s = tgather(lo, order)
+    hi_s = tgather(hi, order)
+    fat_s = tgather(fat, order)
 
     # candidates: for rank r, partners at ranks r+1..r+K
     ranks = jnp.arange(S)
@@ -96,12 +97,12 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     partner_rank_c = jnp.minimum(partner_rank, S - 1)
 
     a_idx = order[:, None] * jnp.ones((1, K), jnp.int32)             # [S,K]
-    b_idx = order[partner_rank_c]                                    # [S,K]
+    b_idx = tgather(order, partner_rank_c)                           # [S,K]
 
     # sweep overlap on the sort axis
-    overlap_axis = lo_s[partner_rank_c] <= hi_s[:, None]
+    overlap_axis = tgather(lo_s, partner_rank_c) <= hi_s[:, None]
     # full AABB overlap
-    fb = fat_s[partner_rank_c]                                       # [S,K,4]
+    fb = tgather(fat_s, partner_rank_c)                              # [S,K,4]
     fa = fat_s[:, None, :]
     overlap = (
         (fa[..., 0] <= fb[..., 2]) & (fb[..., 0] <= fa[..., 2])
@@ -109,34 +110,34 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     )
 
     valid = in_range & overlap_axis & overlap
-    valid &= alive[a_idx] & alive[b_idx]
+    valid &= tgather(alive, a_idx) & tgather(alive, b_idx)
 
     # window overflow: the (K+1)-th successor still sweep-overlaps
     last_rank = ranks + 1 + K
     last_ok = last_rank < S
-    last_lo = lo_s[jnp.minimum(last_rank, S - 1)]
+    last_lo = tgather(lo_s, jnp.minimum(last_rank, S - 1))
     window_overflow = jnp.any(last_ok & (last_lo <= hi_s) & (sort_key != jnp.inf))
 
     # pair rules (reference: src/broad_phase.c:166-258)
-    body_a = shapes.body[a_idx]
-    body_b = shapes.body[b_idx]
+    body_a = tgather(shapes.body, a_idx)
+    body_b = tgather(shapes.body, b_idx)
     valid &= body_a != body_b
     # at least one dynamic
-    valid &= (body_type[body_a] == 2) | (body_type[body_b] == 2)
+    valid &= (tgather(body_type, body_a) == 2) | (tgather(body_type, body_b) == 2)
     # filters (reference: src/contact.h:70-79)
-    ga = shapes.filter_group[a_idx]
-    gb = shapes.filter_group[b_idx]
+    ga = tgather(shapes.filter_group, a_idx)
+    gb = tgather(shapes.filter_group, b_idx)
     same_group = (ga == gb) & (ga != 0)
     mask_ok = (
-        ((shapes.filter_mask[a_idx] & shapes.filter_category[b_idx]) != 0)
-        & ((shapes.filter_category[a_idx] & shapes.filter_mask[b_idx]) != 0)
+        ((tgather(shapes.filter_mask, a_idx) & tgather(shapes.filter_category, b_idx)) != 0)
+        & ((tgather(shapes.filter_category, a_idx) & tgather(shapes.filter_mask, b_idx)) != 0)
     )
     valid &= jnp.where(same_group, ga > 0, mask_ok)
     # joint-connected suppression (reference: src/body.c:386-417)
     bkey = jnp.minimum(body_a, body_b) * config.max_bodies + jnp.maximum(body_a, body_b)
-    pos = jnp.searchsorted(jointed_keys, bkey)
-    pos = jnp.minimum(pos, jointed_keys.shape[0] - 1)
-    valid &= jointed_keys[pos] != bkey
+    # membership test by direct comparison: the jointed list is tiny and
+    # searchsorted's scan-mode binary search is gather-bound under vmap
+    valid &= ~(bkey[..., None] == jointed_keys[None, None, :]).any(-1)
 
     # canonical order: a < b
     a_c = jnp.minimum(a_idx, b_idx)
@@ -153,8 +154,8 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
 
     top_key, top_pos = jax.lax.top_k(-flat_key, C)
     top_key = -top_key
-    sa = jnp.where(top_key != INT32_MAX, flat_a[top_pos], 0)
-    sb = jnp.where(top_key != INT32_MAX, flat_b[top_pos], 0)
+    sa = jnp.where(top_key != INT32_MAX, tgather(flat_a, top_pos), 0)
+    sb = jnp.where(top_key != INT32_MAX, tgather(flat_b, top_pos), 0)
 
     overflow = window_overflow | (count > C)
     return PairResult(sa, sb, top_key, top_key != INT32_MAX, count, overflow)
@@ -169,19 +170,21 @@ def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type
     new_key = pairs.key
     old_key = old.key  # sorted, INT32_MAX padded
 
-    pos = jnp.searchsorted(old_key, new_key)
+    # compare-count searchsorted: searchsorted's default scan method is a
+    # gather-bound binary search under vmap; one [C,C] comparison is cheap
+    pos = (old_key[None, :] < new_key[:, None]).sum(1)
     pos = jnp.minimum(pos, old_key.shape[0] - 1)
-    found = (old_key[pos] == new_key) & (new_key != INT32_MAX) & old.alive[pos]
+    found = (tgather(old_key, pos) == new_key) & (new_key != INT32_MAX) & tgather(old.alive, pos)
 
     def carry(old_arr, default_val):
-        gathered = old_arr[pos]
+        gathered = tgather(old_arr, pos)
         if gathered.ndim == 1:
             return jnp.where(found, gathered, default_val)
         return jnp.where(found.reshape(found.shape + (1,) * (gathered.ndim - 1)), gathered, default_val)
 
     sa, sb = pairs.shape_a, pairs.shape_b
-    friction = jnp.sqrt(shapes.friction[sa] * shapes.friction[sb])          # contact.c:42-45
-    restitution = jnp.maximum(shapes.restitution[sa], shapes.restitution[sb])  # contact.c:47-52
+    friction = jnp.sqrt(tgather(shapes.friction, sa) * tgather(shapes.friction, sb))          # contact.c:42-45
+    restitution = jnp.maximum(tgather(shapes.restitution, sa), tgather(shapes.restitution, sb))  # contact.c:47-52
 
     C = new_key.shape[0]
     z2 = jnp.zeros((C, 2), jnp.float32)
@@ -191,8 +194,8 @@ def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type
         key=new_key,
         shape_a=sa,
         shape_b=sb,
-        body_a=body_of[sa],
-        body_b=body_of[sb],
+        body_a=tgather(body_of, sa),
+        body_b=tgather(body_of, sb),
         friction=friction,
         restitution=restitution,
         normal=carry(old.normal, z2),
@@ -263,7 +266,7 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     hashes = jnp.where(small, _cell_hash(cx, cy), INT32_MAX)
 
     order = jnp.argsort(hashes)          # small shapes sorted by cell hash
-    sorted_hash = hashes[order]
+    sorted_hash = tgather(hashes, order)
 
     # per-shape candidate lists from the 3x3 neighborhood
     neighbor_offsets = [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
@@ -273,12 +276,14 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     lanes = jnp.arange(M)
     for dx, dy in neighbor_offsets:
         nh = _cell_hash(cx + dx, cy + dy)
-        lo = jnp.searchsorted(sorted_hash, nh)
-        hi = jnp.searchsorted(sorted_hash, nh, side="right")
+        # compare-count searchsorted ([S,S] is small; scan-mode binary search
+        # is gather-bound under vmap)
+        lo = (sorted_hash[None, :] < nh[:, None]).sum(1)
+        hi = (sorted_hash[None, :] <= nh[:, None]).sum(1)
         count = hi - lo
         overflow = overflow | jnp.any(small & (count > M))
         pos = jnp.minimum(lo[:, None] + lanes[None, :], S - 1)   # [S,M]
-        cand = order[pos]
+        cand = tgather(order, pos)
         valid = (lanes[None, :] < count[:, None]) & small[:, None]
         cand_list.append(cand)
         cand_valid.append(valid)
@@ -307,34 +312,34 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     # big-b always kept from the small side (a may be > b), so canonicalize
     # below and drop a==b
     valid &= a_idx != b_idx
-    both_small = small[a_idx] & small[b_idx]
-    both_big = big[a_idx] & big[b_idx]
-    valid &= jnp.where(both_small | both_big, a_idx < b_idx, small[a_idx])
+    small_a = tgather(small, a_idx)
+    both_small = small_a & tgather(small, b_idx)
+    both_big = tgather(big, a_idx) & tgather(big, b_idx)
+    valid &= jnp.where(both_small | both_big, a_idx < b_idx, small_a)
 
     # AABB overlap
-    fa = fat[a_idx.reshape(-1)].reshape(a_idx.shape + (4,))
-    fb = fat[b_idx.reshape(-1)].reshape(b_idx.shape + (4,))
+    fa = tgather(fat, a_idx)
+    fb = tgather(fat, b_idx)
     valid &= (
         (fa[..., 0] <= fb[..., 2]) & (fb[..., 0] <= fa[..., 2])
         & (fa[..., 1] <= fb[..., 3]) & (fb[..., 1] <= fa[..., 3])
     )
 
     # pair rules (same as find_pairs)
-    body_a = shapes.body[a_idx]
-    body_b = shapes.body[b_idx]
+    body_a = tgather(shapes.body, a_idx)
+    body_b = tgather(shapes.body, b_idx)
     valid &= body_a != body_b
-    valid &= (body_type[body_a] == 2) | (body_type[body_b] == 2)
-    ga = shapes.filter_group[a_idx]
-    gb = shapes.filter_group[b_idx]
+    valid &= (tgather(body_type, body_a) == 2) | (tgather(body_type, body_b) == 2)
+    ga = tgather(shapes.filter_group, a_idx)
+    gb = tgather(shapes.filter_group, b_idx)
     same_group = (ga == gb) & (ga != 0)
     mask_ok = (
-        ((shapes.filter_mask[a_idx] & shapes.filter_category[b_idx]) != 0)
-        & ((shapes.filter_category[a_idx] & shapes.filter_mask[b_idx]) != 0)
+        ((tgather(shapes.filter_mask, a_idx) & tgather(shapes.filter_category, b_idx)) != 0)
+        & ((tgather(shapes.filter_category, a_idx) & tgather(shapes.filter_mask, b_idx)) != 0)
     )
     valid &= jnp.where(same_group, ga > 0, mask_ok)
     bkey = jnp.minimum(body_a, body_b) * config.max_bodies + jnp.maximum(body_a, body_b)
-    pos2 = jnp.minimum(jnp.searchsorted(jointed_keys, bkey), jointed_keys.shape[0] - 1)
-    valid &= jointed_keys[pos2] != bkey
+    valid &= ~(bkey[..., None] == jointed_keys[None, None, :]).any(-1)
 
     a_c = jnp.minimum(a_idx, b_idx)
     b_c = jnp.maximum(a_idx, b_idx)
@@ -352,7 +357,7 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     # keys are ascending after top_k, so duplicates are adjacent
     dup = jnp.concatenate([jnp.zeros((1,), bool), top_key[1:] == top_key[:-1]])
     top_key = jnp.where(dup, INT32_MAX, top_key)
-    sa = jnp.where(top_key != INT32_MAX, flat_a[top_pos], 0)
-    sb = jnp.where(top_key != INT32_MAX, flat_b[top_pos], 0)
+    sa = jnp.where(top_key != INT32_MAX, tgather(flat_a, top_pos), 0)
+    sb = jnp.where(top_key != INT32_MAX, tgather(flat_b, top_pos), 0)
     overflow = overflow | (count > C)
     return PairResult(sa, sb, top_key, top_key != INT32_MAX, count, overflow)

@@ -29,6 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .gather import tgather
+
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -47,11 +49,19 @@ def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_color
     idx = jnp.arange(N, dtype=jnp.int32)
     pri = _hash_priority(idx)
 
-    dyn_a = dynamic_mask[body_a]
-    dyn_b = dynamic_mask[body_b]
+    dyn_a = tgather(dynamic_mask, body_a)
+    dyn_b = tgather(dynamic_mask, body_b)
     # non-dynamic endpoints point at a dummy sink slot
     slot_a = jnp.where(dyn_a, body_a, num_bodies)
     slot_b = jnp.where(dyn_b, body_b, num_bodies)
+
+    # Dense incidence [B+1, N]: body row b is a dynamic endpoint of
+    # constraint c; the sink row stays all-False. Built once, then every MIS
+    # round is two masked reductions over it — batched scatters (the
+    # .at[].min/.max formulation) are ~1.6 ms each under vmap on TPU, and
+    # the scan below would need 5 per round.
+    rows = jnp.arange(num_bodies + 1, dtype=jnp.int32)[:, None]
+    inc = ((slot_a[None, :] == rows) | (slot_b[None, :] == rows)) & (rows < num_bodies)
 
     def one_color(uncolored, _):
         used0 = jnp.zeros((num_bodies + 1,), bool)
@@ -59,16 +69,12 @@ def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_color
 
         def inner(carry, _):
             used, selected = carry
-            elig = uncolored & active & ~selected & ~used[slot_a] & ~used[slot_b]
+            elig = uncolored & active & ~selected & ~tgather(used, slot_a) & ~tgather(used, slot_b)
             cand_pri = jnp.where(elig, pri, INT32_MAX)
-            owner = jnp.full((num_bodies + 1,), INT32_MAX, jnp.int32)
-            owner = owner.at[slot_a].min(cand_pri)
-            owner = owner.at[slot_b].min(cand_pri)
-            win = elig & (~dyn_a | (owner[slot_a] == pri)) & (~dyn_b | (owner[slot_b] == pri))
+            owner = jnp.where(inc, cand_pri[None, :], INT32_MAX).min(axis=1)  # [B+1]
+            win = elig & (~dyn_a | (tgather(owner, slot_a) == pri)) & (~dyn_b | (tgather(owner, slot_b) == pri))
             selected = selected | win
-            used = used.at[jnp.where(win & dyn_a, body_a, num_bodies)].max(win & dyn_a)
-            used = used.at[jnp.where(win & dyn_b, body_b, num_bodies)].max(win & dyn_b)
-            used = used.at[num_bodies].set(False)
+            used = used | (inc & win[None, :]).any(axis=1)
             return (used, selected), None
 
         (_, selected), _ = jax.lax.scan(inner, (used0, sel0), None, length=inner_rounds)

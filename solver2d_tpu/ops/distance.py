@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import math2d as m
+from .gather import tgather
 
 _EPS = 1.1920929e-07  # FLT_EPSILON
 MAX_ITERS = 20
@@ -123,7 +124,7 @@ def _solve_simplex3(w):
     one = jnp.array([1.0, 0.0, 0.0])
     bary = jnp.stack([one, a12, a13, one, one, a23, a123])
 
-    return perms[case], bary[case], counts[case]
+    return tgather(perms, case), tgather(bary, case), tgather(counts, case)
 
 
 def _search_direction(w, count):
@@ -143,15 +144,15 @@ def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib, max
     8-12 suffices for <=8-vertex shapes and is markedly cheaper on TPU)."""
 
     def vert(verts, idx):
-        return verts[idx]
+        return tgather(verts, idx)
 
     # Initialize simplex from cache (reference: src/distance.c:172-213)
     use_cache = cache_count > 0
     ia = jnp.where(use_cache, cache_ia, jnp.zeros((3,), jnp.int32))
     ib = jnp.where(use_cache, cache_ib, jnp.zeros((3,), jnp.int32))
     count = jnp.where(use_cache, cache_count, 1)
-    wa = verts_a[ia]  # [3,2]
-    wb = verts_b[ib]
+    wa = tgather(verts_a, ia)  # [3,2]
+    wb = tgather(verts_b, ib)
     w = wb - wa
     bary = jnp.array([1.0, 0.0, 0.0])
 
@@ -167,8 +168,8 @@ def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib, max
         new_a = jnp.where(count == 1, jnp.array([1.0, 0.0, 0.0]), jnp.where(count == 2, a2, a3))
         new_count = jnp.where(count == 1, 1, jnp.where(count == 2, cnt2, cnt3))
 
-        wa_n, wb_n, w_n = wa[perm], wb[perm], w[perm]
-        ia_n, ib_n = ia[perm], ib[perm]
+        wa_n, wb_n, w_n = tgather(wa, perm), tgather(wb, perm), tgather(w, perm)
+        ia_n, ib_n = tgather(ia, perm), tgather(ib, perm)
 
         # Commit solve (unless done)
         wa = jnp.where(done, wa, wa_n)
@@ -192,15 +193,18 @@ def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib, max
         iters = jnp.where(done, iters, iters + 1)
         done = done | dup
 
-        # Append new vertex
-        new_wa = verts_a[sia]
-        new_wb = verts_b[sib]
+        # Append new vertex by lane mask (a dynamic-index .at[].set is a
+        # batched scatter under vmap; this is pure elementwise)
+        new_wa = tgather(verts_a, sia)
+        new_wb = tgather(verts_b, sib)
         app = ~done
-        wa = jnp.where(app, wa.at[count].set(new_wa), wa)
-        wb = jnp.where(app, wb.at[count].set(new_wb), wb)
-        w = jnp.where(app, w.at[count].set(new_wb - new_wa), w)
-        ia = jnp.where(app, ia.at[count].set(sia), ia)
-        ib = jnp.where(app, ib.at[count].set(sib), ib)
+        lane_hit = app & (jnp.arange(3) == count)     # [3]
+        lh2 = lane_hit[:, None]
+        wa = jnp.where(lh2, new_wa[None, :], wa)
+        wb = jnp.where(lh2, new_wb[None, :], wb)
+        w = jnp.where(lh2, (new_wb - new_wa)[None, :], w)
+        ia = jnp.where(lane_hit, sia, ia)
+        ib = jnp.where(lane_hit, sib, ib)
         count = jnp.where(app, count + 1, count)
         return (wa, wb, w, ia, ib, bary, count, done, iters)
 
@@ -217,8 +221,8 @@ def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib, max
     perm = jnp.where(count == 1, id_perm, jnp.where(count == 2, perm2, perm3))
     bary = jnp.where(count == 1, jnp.array([1.0, 0.0, 0.0]), jnp.where(count == 2, a2, a3))
     count = jnp.where(count == 1, 1, jnp.where(count == 2, cnt2, cnt3))
-    wa, wb = wa[perm], wb[perm]
-    ia, ib = ia[perm], ib[perm]
+    wa, wb = tgather(wa, perm), tgather(wb, perm)
+    ia, ib = tgather(ia, perm), tgather(ib, perm)
 
     lane = jnp.arange(3)
     mask = (lane < count)[:, None]

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..config import LINEAR_SLOP, MAX_POLYGON_VERTICES, SPECULATIVE_DISTANCE
 from . import distance as gjk_mod
 from . import math2d as m
+from .gather import tgather
 
 _EPS = 1.1920929e-07
 _BIG = 1e30
@@ -65,13 +66,13 @@ def _clip_polygons(va, na, ca, ra, vb, nb, cb, rb, edge_a, edge_b, flip):
     i22 = jnp.where(i21 + 1 < cnt2, i21 + 1, 0)
 
     def sel(flip, xb, xa, idx):
-        return jnp.where(flip, xb[idx], xa[idx])
+        return jnp.where(flip, tgather(xb, idx), tgather(xa, idx))
 
-    normal = jnp.where(flip, nb[i11], na[i11])
-    v11 = jnp.where(flip, vb[i11], va[i11])
-    v12 = jnp.where(flip, vb[i12], va[i12])
-    v21 = jnp.where(flip, va[i21], vb[i21])
-    v22 = jnp.where(flip, va[i22], vb[i22])
+    normal = jnp.where(flip, tgather(nb, i11), tgather(na, i11))
+    v11 = jnp.where(flip, tgather(vb, i11), tgather(va, i11))
+    v12 = jnp.where(flip, tgather(vb, i12), tgather(va, i12))
+    v21 = jnp.where(flip, tgather(va, i21), tgather(vb, i21))
+    v22 = jnp.where(flip, tgather(va, i22), tgather(vb, i22))
     r1 = jnp.where(flip, rb, ra)
     r2 = jnp.where(flip, ra, rb)
 
@@ -121,7 +122,7 @@ def _find_max_separation(v1, n1, c1, v2, c2):
     si = sij.min(axis=1)
     si = jnp.where(lanes < c1, si, -_BIG)           # max over real i
     best = jnp.argmax(si).astype(jnp.int32)
-    return si[best], best
+    return tgather(si, best), best
 
 
 def _incident_edge(search_dir, normals, count):
@@ -177,11 +178,11 @@ def collide(
     seps = ((c_center[None, :] - vp) * np_).sum(-1)
     seps = jnp.where(lanes < cp, seps, -_BIG)
     norm_idx = jnp.argmax(seps).astype(jnp.int32)
-    sep_pc0 = seps[norm_idx]
+    sep_pc0 = tgather(seps, norm_idx)
 
     i1 = norm_idx
     i2 = jnp.where(i1 + 1 < cp, i1 + 1, 0)
-    v1, v2 = vp[i1], vp[i2]
+    v1, v2 = tgather(vp, i1), tgather(vp, i2)
     u1 = m.dot(c_center - v1, v2 - v1)
     u2 = m.dot(c_center - v2, v1 - v2)
 
@@ -194,7 +195,7 @@ def collide(
     case_v1 = (u1 < 0.0) & (sep_pc0 > _EPS)
     case_v2 = (u2 < 0.0) & (sep_pc0 > _EPS) & ~case_v1
 
-    n_face = np_[norm_idx]
+    n_face = tgather(np_, norm_idx)
     n_pc = jnp.where(case_v1, n_v1, jnp.where(case_v2, n_v2, n_face))
     sep_pc = jnp.where(case_v1, sep_v1, jnp.where(case_v2, sep_v2, sep_pc0))
     v_near = jnp.where(case_v1, v1, jnp.where(case_v2, v2, v1))

@@ -28,6 +28,7 @@ from ..config import (
     PI,
 )
 from ..ops import math2d as m
+from ..ops.gather import tgather
 from ..state import Bodies, Contacts
 
 
@@ -139,16 +140,16 @@ def prepare_contacts(bodies: Bodies, contacts: Contacts, *, h, hertz, soft: bool
 
     Returns (cons, normal_impulse, tangent_impulse)."""
     ia, ib = contacts.body_a, contacts.body_b
-    mA, iA = bodies.inv_mass[ia], bodies.inv_inertia[ia]
-    mB, iB = bodies.inv_mass[ib], bodies.inv_inertia[ib]
-    qA, qB = bodies.rot[ia], bodies.rot[ib]
+    mA, iA = tgather(bodies.inv_mass, ia), tgather(bodies.inv_inertia, ia)
+    mB, iB = tgather(bodies.inv_mass, ib), tgather(bodies.inv_inertia, ib)
+    qA, qB = tgather(bodies.rot, ia), tgather(bodies.rot, ib)
 
     active = contacts.alive & (contacts.point_count > 0)
     pmask = active[:, None] & (jnp.arange(2)[None, :] < contacts.point_count[:, None])
 
     normal = contacts.normal
-    la = contacts.anchor_a - bodies.local_center[ia][:, None, :]
-    lb = contacts.anchor_b - bodies.local_center[ib][:, None, :]
+    la = contacts.anchor_a - tgather(bodies.local_center, ia)[:, None, :]
+    lb = contacts.anchor_b - tgather(bodies.local_center, ib)[:, None, :]
     rA = m.rotate(qA[:, None, :], la)
     rB = m.rotate(qB[:, None, :], lb)
 
@@ -198,7 +199,7 @@ def warm_start(v, w, cons: ContactCons, n_imp, t_imp, rot=None, fixed_anchors: b
     if fixed_anchors:
         rA, rB = cons.r_a0, cons.r_b0
     else:
-        qA, qB = rot[cons.ia], rot[cons.ib]
+        qA, qB = tgather(rot, cons.ia), tgather(rot, cons.ib)
         rA = m.rotate(qA[:, None, :], cons.local_anchor_a)
         rB = m.rotate(qB[:, None, :], cons.local_anchor_b)
 
@@ -237,13 +238,15 @@ def make_body_map(body_a, body_b, color, active, dyn_mask, num_bodies, n_colors,
     from ..ops.coloring import build_body_map
 
     idx = jnp.arange(body_a.shape[0], dtype=jnp.int32)
-    dyn_a = dyn_mask[body_a]
-    dyn_b = dyn_mask[body_b]
+    dyn_a = tgather(dyn_mask, body_a)
+    dyn_b = tgather(dyn_mask, body_b)
     write_a = dyn_a if write_a_extra is None else (dyn_a & write_a_extra)
     write_b = dyn_b
     slot = build_body_map(body_a, body_b, color, active, write_a, write_b, num_bodies, n_colors)
-    own_a = ~write_a | (slot[body_a, color] == idx)
-    own_b = ~write_b | (slot[body_b, color] == idx)
+    n_colors_i = slot.shape[1]
+    flat_slot = slot.reshape(-1)
+    own_a = ~write_a | (tgather(flat_slot, body_a * n_colors_i + color) == idx)
+    own_b = ~write_b | (tgather(flat_slot, body_b * n_colors_i + color) == idx)
     return BodyMap(slot=slot, winner=own_a & own_b)
 
 
@@ -287,10 +290,10 @@ def gather_apply(slot_k, body_a, values_a, values_b, targets):
     B = targets[0].shape[0]
     ci = jnp.maximum(slot_k, 0)
     valid = slot_k >= 0
-    is_a = body_a[ci] == jnp.arange(B, dtype=body_a.dtype)
+    is_a = tgather(body_a, ci) == jnp.arange(B, dtype=body_a.dtype)
     outs = []
     for arr, da, db in zip(targets, values_a, values_b):
-        sel = jnp.where(_exp(is_a, arr.ndim), da[ci], db[ci])
+        sel = jnp.where(_exp(is_a, arr.ndim), tgather(da, ci), tgather(db, ci))
         outs.append(jnp.where(_exp(valid, arr.ndim), sel, arr))
     return tuple(outs)
 
@@ -328,7 +331,7 @@ def warm_start_packed(bs, cons: ContactCons, n_imp, t_imp, fixed_anchors: bool =
         rA, rB = cons.r_a0, cons.r_b0
     else:
         _, _, _, rot = unpack_body_state(bs)
-        qA, qB = rot[cons.ia], rot[cons.ib]
+        qA, qB = tgather(rot, cons.ia), tgather(rot, cons.ib)
         rA = m.rotate(qA[:, None, :], cons.local_anchor_a)
         rB = m.rotate(qB[:, None, :], cons.local_anchor_b)
 
@@ -357,8 +360,8 @@ def ngs_pass(bs, cons: ContactCons, k, bmap: "BodyMap"):
     ia, ib = cons.ia, cons.ib
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
-    rowsA = bs[ia]
-    rowsB = bs[ib]
+    rowsA = tgather(bs, ia)
+    rowsB = tgather(bs, ib)
     vA, wA, dcA, qA = unpack_rows(rowsA)
     vB, wB, dcB, qB = unpack_rows(rowsB)
     normal = cons.normal

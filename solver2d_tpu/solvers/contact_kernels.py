@@ -32,6 +32,7 @@ from ..config import (
     MAX_LINEAR_CORRECTION,
 )
 from ..ops import math2d as m
+from ..ops.gather import tgather
 from .common import ContactCons
 
 
@@ -187,8 +188,8 @@ def gs_contact_pass(carry, k, cons: ContactCons, mode: SolveMode, inv_h, use_bia
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(bs[ia])
-    vB, wB, dcB, qB = unpack_rows(bs[ib])
+    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
 
     vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
         cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
@@ -209,8 +210,8 @@ def jacobi_contact_pass(bs, cons: ContactCons, n_imp, t_imp, mode: SolveMode, in
     from .common import unpack_rows
 
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(bs[ia])
-    vB, wB, dcB, qB = unpack_rows(bs[ib])
+    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
 
     vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
         cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
@@ -268,8 +269,8 @@ def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA_r, qA_r = unpack_rows(bs[ia])
-    vB, wB, dcB_r, qB_r = unpack_rows(bs[ib])
+    vA, wA, dcA_r, qA_r = unpack_rows(tgather(bs, ia))
+    vB, wB, dcB_r, qB_r = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -376,8 +377,8 @@ def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap):
 
     bs = carry
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
-    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
+    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -467,8 +468,8 @@ def prepare_sticky(bodies_position, contacts, cons: ContactCons, rot):
     [C,2], sticky_tangent_mass [C,2], new friction fields for the contact
     store: fric_normal_a/b, fric_anchor_a/b [C,2,2] in body-origin frames)."""
     ia, ib = cons.ia, cons.ib
-    qA, qB = rot[ia], rot[ib]
-    cA, cB = bodies_position[ia], bodies_position[ib]
+    qA, qB = tgather(rot, ia), tgather(rot, ib)
+    cA, cB = tgather(bodies_position, ia), tgather(bodies_position, ib)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -535,8 +536,8 @@ def sticky_velocity_pass(carry, k, cons: ContactCons, lfa, lfb, tangent_sep, sti
 
     bs, n_imp, t_imp, fric_persisted = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(bs[ia])
-    vB, wB, dcB, qB = unpack_rows(bs[ib])
+    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -617,8 +618,8 @@ def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap):
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
-    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
+    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -691,8 +692,8 @@ def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap):
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA_r, qA = unpack_rows(bs[ia])
-    vB, wB, dcB_r, qB = unpack_rows(bs[ib])
+    vA, wA, dcA_r, qA = unpack_rows(tgather(bs, ia))
+    vB, wB, dcB_r, qB = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal

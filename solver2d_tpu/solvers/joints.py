@@ -31,6 +31,7 @@ from ..config import (
     PI,
 )
 from ..ops import math2d as m
+from ..ops.gather import tgather
 from ..state import Bodies, Joints
 
 
@@ -82,22 +83,22 @@ def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm
     prep (mouse_joint.c:31-83). Returns (cons, imp)."""
     ia, ib = joints.body_a, joints.body_b
     is_mouse = joints.type == 1
-    mA, iA = bodies.inv_mass[ia], bodies.inv_inertia[ia]
-    mB, iB = bodies.inv_mass[ib], bodies.inv_inertia[ib]
+    mA, iA = tgather(bodies.inv_mass, ia), tgather(bodies.inv_inertia, ia)
+    mB, iB = tgather(bodies.inv_mass, ib), tgather(bodies.inv_inertia, ib)
     # mouse joint ignores body A entirely (mouse_joint.c:31-107)
     mA = jnp.where(is_mouse, 0.0, mA)
     iA = jnp.where(is_mouse, 0.0, iA)
 
-    la = joints.local_anchor_a - bodies.local_center[ia]
-    lb = joints.local_anchor_b - bodies.local_center[ib]
-    qA, qB = bodies.rot[ia], bodies.rot[ib]
+    la = joints.local_anchor_a - tgather(bodies.local_center, ia)
+    lb = joints.local_anchor_b - tgather(bodies.local_center, ib)
+    qA, qB = tgather(bodies.rot, ia), tgather(bodies.rot, ib)
     rA = m.rotate(qA, la)
     rB = m.rotate(qB, lb)
 
     center_diff0 = jnp.where(
         is_mouse[:, None],
-        bodies.position[ib] - joints.target,  # mouse_joint.c:75-76
-        bodies.position[ib] - bodies.position[ia],  # revolute_joint.c:53
+        tgather(bodies.position, ib) - joints.target,  # mouse_joint.c:75-76
+        tgather(bodies.position, ib) - tgather(bodies.position, ia),  # revolute_joint.c:53
     )
 
     K = _pivot_k(rA, rB, mA, mB, iA, iB)
@@ -150,8 +151,8 @@ def warm_start_pass(bs, k, cons: JointCons, imp: JointImp, bmap):
     from .common import gather_apply, pack_rows, unpack_rows
 
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(bs[ia])
-    vB, wB, dcB, qB = unpack_rows(bs[ib])
+    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
     rA = m.rotate(qA, cons.local_anchor_a)
     rB = m.rotate(qB, cons.local_anchor_b)
     axial = imp.motor + imp.lower - imp.upper
@@ -256,8 +257,8 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
 
     bs, imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA_r, qA = unpack_rows(bs[ia])
-    vB, wB, dcB_r, qB = unpack_rows(bs[ib])
+    vA, wA, dcA_r, qA = unpack_rows(tgather(bs, ia))
+    vB, wB, dcB_r, qB = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
 
@@ -266,7 +267,7 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
     wA, wB, imp2 = _motor_limits(cons, imp, wA, wB, qA, qB, h, inv_h, mode, use_bias)
 
     if solve_mouse:
-        wB, imp2 = _mouse_angular_damping(cons, imp2, wB, inertia[ib], h)
+        wB, imp2 = _mouse_angular_damping(cons, imp2, wB, tgather(inertia, ib), h)
 
     # Point-to-point
     rA = m.rotate(qA, cons.local_anchor_a)
@@ -346,8 +347,8 @@ def position_pass(bs, k, cons: JointCons, color, bmap):
     from .common import pack_rows, unpack_rows
 
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
-    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
+    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     fixed_rot = (iA + iB) == 0.0
@@ -384,8 +385,8 @@ def position_pass(bs, k, cons: JointCons, color, bmap):
     from .common import gather_apply
 
     # out-of-scope (mouse) joints must not change position state
-    rows0A = bs[ia]
-    rows0B = bs[ib]
+    rows0A = tgather(bs, ia)
+    rows0B = tgather(bs, ib)
     outA = pack_rows(vA_r, wA_r, dcA, qA)
     outB = pack_rows(vB_r, wB_r, dcB, qB)
     revn = rev[:, None]
@@ -402,8 +403,8 @@ def xpbd_pass(bs, k, cons: JointCons, inv_h, color, bmap):
     from .common import pack_rows, unpack_rows
 
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(bs[ia])
-    vB_r, wB_r, dcB, qB = unpack_rows(bs[ib])
+    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
+    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     rev = ~cons.is_mouse & cons.active & ((mA != 0.0) | (mB != 0.0))
@@ -429,8 +430,8 @@ def xpbd_pass(bs, k, cons: JointCons, inv_h, color, bmap):
 
     from .common import gather_apply
 
-    rows0A = bs[ia]
-    rows0B = bs[ib]
+    rows0A = tgather(bs, ia)
+    rows0B = tgather(bs, ib)
     outA = pack_rows(vA_r, wA_r, dcA, qA)
     outB = pack_rows(vB_r, wB_r, dcB, qB)
     revn = rev[:, None]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from .config import SPECULATIVE_DISTANCE, SimConfig
 from .ops import broadphase, coloring, manifold
 from .ops import math2d as m
+from .ops.gather import tgather
 from .ops.geometry import compute_aabbs
 from .solvers.loops import SOLVERS
 from .state import Contacts, Diagnostics, State
@@ -39,10 +40,12 @@ def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20) -> C
     sa, sb = contacts.shape_a, contacts.shape_b
 
     out = jax.vmap(partial(manifold.collide, gjk_iters=gjk_iters))(
-        shapes.verts[sa], shapes.normals[sa], shapes.count[sa], shapes.radius[sa],
-        shapes.verts[sb], shapes.normals[sb], shapes.count[sb], shapes.radius[sb],
-        bodies.origin[contacts.body_a], bodies.rot[contacts.body_a],
-        bodies.origin[contacts.body_b], bodies.rot[contacts.body_b],
+        tgather(shapes.verts, sa), tgather(shapes.normals, sa),
+        tgather(shapes.count, sa), tgather(shapes.radius, sa),
+        tgather(shapes.verts, sb), tgather(shapes.normals, sb),
+        tgather(shapes.count, sb), tgather(shapes.radius, sb),
+        tgather(bodies.origin, contacts.body_a), tgather(bodies.rot, contacts.body_a),
+        tgather(bodies.origin, contacts.body_b), tgather(bodies.rot, contacts.body_b),
         contacts.cache_count, contacts.cache_index_a, contacts.cache_index_b,
     )
 
@@ -61,14 +64,14 @@ def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20) -> C
     # index of matching old point (first match)
     old_j = jnp.argmax(eq, axis=-1)  # [C,2]
 
-    def take(old_arr):
-        return jnp.take_along_axis(old_arr, old_j, axis=1)
+    def take(old_arr):  # old_arr [C,2]; old_j in {0,1}: select, don't gather
+        return jnp.where(old_j == 0, old_arr[:, 0:1], old_arr[:, 1:2])
 
     n_imp = jnp.where(matched, take(contacts.normal_impulse), 0.0)
     t_imp = jnp.where(matched, take(contacts.tangent_impulse), 0.0)
 
     def take2(old_arr):  # [C,2,2] fields
-        return jnp.take_along_axis(old_arr, old_j[:, :, None], axis=1)
+        return jnp.where(old_j[:, :, None] == 0, old_arr[:, 0:1, :], old_arr[:, 1:2, :])
 
     fna = jnp.where(matched[..., None], take2(contacts.friction_normal_a), contacts.friction_normal_a)
     fnb = jnp.where(matched[..., None], take2(contacts.friction_normal_b), contacts.friction_normal_b)
@@ -107,7 +110,7 @@ def step(state: State, dt, config: SimConfig) -> State:
     bodies = state.bodies
 
     # Stage 1: pair update using last step's fat AABBs
-    shape_body_type = jnp.where(shapes.alive, bodies.type[shapes.body], 0)
+    shape_body_type = jnp.where(shapes.alive, tgather(bodies.type, shapes.body), 0)
     jointed = broadphase.jointed_body_keys(state.joints, config)
     if config.broadphase == "grid":
         pairs = broadphase.find_pairs_grid(shapes, bodies.type, jointed, config)
@@ -152,7 +155,7 @@ def step(state: State, dt, config: SimConfig) -> State:
     # Stage 4: AABB + fat AABB hysteresis update
     aabbs = compute_aabbs(
         shapes.verts, shapes.normals, shapes.count, shapes.radius,
-        new_bodies.origin[shapes.body], new_bodies.rot[shapes.body],
+        tgather(new_bodies.origin, shapes.body), tgather(new_bodies.rot, shapes.body),
     )
     aabbs = aabbs + jnp.array([-1.0, -1.0, 1.0, 1.0], jnp.float32) * SPECULATIVE_DISTANCE
     fat = broadphase.update_fat_aabbs(shapes, aabbs, shape_body_type)
