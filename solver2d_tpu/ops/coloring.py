@@ -77,11 +77,19 @@ def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_color
             used = used | (inc & win[None, :]).any(axis=1)
             return (used, selected), None
 
-        (_, selected), _ = jax.lax.scan(inner, (used0, sel0), None, length=inner_rounds)
+        carry = (used0, sel0)
+        for _r in range(inner_rounds):   # unrolled: while-loop trips are ~ms on TPU
+            carry, _ = inner(carry, None)
+        (_, selected) = carry
         return uncolored & ~selected, selected
 
     uncolored0 = jnp.ones((N,), bool)
-    uncolored, selected_rounds = jax.lax.scan(one_color, uncolored0, None, length=max_colors - 1)
+    uncolored = uncolored0
+    sels = []
+    for _c in range(max_colors - 1):     # unrolled (see above)
+        uncolored, sel = one_color(uncolored, None)
+        sels.append(sel)
+    selected_rounds = jnp.stack(sels)
     # selected_rounds: [max_colors-1, N]; each constraint in <= 1 round
     rounds = jnp.arange(max_colors - 1, dtype=jnp.int32)
     sel_color = jnp.where(selected_rounds, rounds[:, None], max_colors - 1).min(axis=0)

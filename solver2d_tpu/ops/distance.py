@@ -210,7 +210,10 @@ def gjk(verts_a, count_a, verts_b, count_b, cache_count, cache_ia, cache_ib, max
 
     iters0 = jnp.zeros((), jnp.int32)
     carry = (wa, wb, w, ia, ib, bary, count, jnp.zeros((), bool), iters0)
-    wa, wb, w, ia, ib, bary, count, done, iters = jax.lax.fori_loop(0, max_iters, body, carry)
+    # statically unrolled: a device while loop costs ~1-2 ms per trip on TPU
+    for _it in range(max_iters):
+        carry = body(_it, carry)
+    wa, wb, w, ia, ib, bary, count, done, iters = carry
 
     # Final simplex solve: the loop body solves at the top of each trip, so if
     # the trip budget ran out right after an append the last vertex has no

@@ -298,6 +298,17 @@ def gather_apply(slot_k, body_a, values_a, values_b, targets):
     return tuple(outs)
 
 
+def sfori(n: int, body, carry):
+    """Statically-unrolled fori_loop. Every solver loop bound here is a
+    compile-time constant, and on TPU each device while-loop trip costs
+    ~1-2 ms of sequencing overhead (measured: a TGS substep schedule of
+    ~330 trips accounted for ~0.7 s/step at 128 worlds); unrolling turns
+    the whole solve into straight-line fused XLA."""
+    for i in range(n):
+        carry = body(i, carry)
+    return carry
+
+
 def colored_pass(n_colors: int, solve_fn, carry):
     """Run solve_fn once per color: solve_fn(carry, k) -> carry.
 
@@ -307,7 +318,7 @@ def colored_pass(n_colors: int, solve_fn, carry):
     def body(k, carry):
         return solve_fn(carry, k)
 
-    return jax.lax.fori_loop(0, n_colors, body, carry)
+    return sfori(n_colors, body, carry)
 
 
 # ------------------------------------------------ packed integration/warm

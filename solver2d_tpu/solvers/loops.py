@@ -31,6 +31,7 @@ from ..state import Bodies
 from . import contact_kernels as ck
 from . import joints as jk
 from .common import (
+    sfori,
     colored_pass,
     finalize_positions,
     integrate_positions_packed,
@@ -128,7 +129,7 @@ def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_BAUMGARTE, inv_h, True)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    st = sfori(cfg.iterations, it, st)
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
@@ -151,7 +152,7 @@ def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_PLAIN, inv_h, True)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    st = sfori(cfg.iterations, it, st)
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
 
     def pos_it(_, st):
@@ -159,7 +160,7 @@ def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         st = _contact_ngs(st, colors, cfg, cons)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.extra_iterations, pos_it, st)
+    st = sfori(cfg.extra_iterations, pos_it, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
@@ -189,7 +190,7 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
         )
         return (bs, n, t, jimp)
 
-    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    st = sfori(cfg.iterations, it, st)
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
 
     def pos_it(_, st):
@@ -203,7 +204,7 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
         st = _joint_ngs(st, colors, cfg, jcons)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.extra_iterations, pos_it, st)
+    st = sfori(cfg.extra_iterations, pos_it, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
@@ -227,7 +228,7 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_SOFT, inv_h, True)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.iterations, it, st)
+    st = sfori(cfg.iterations, it, st)
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
 
     def relax_it(_, st):
@@ -235,7 +236,7 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_SOFT, inv_h, False)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.extra_iterations, relax_it, st)
+    st = sfori(cfg.extra_iterations, relax_it, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
@@ -264,9 +265,9 @@ def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
 
         return it
 
-    st = jax.lax.fori_loop(0, cfg.iterations, it_factory(True), st)
+    st = sfori(cfg.iterations, it_factory(True), st)
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
-    st = jax.lax.fori_loop(0, cfg.extra_iterations, it_factory(False), st)
+    st = sfori(cfg.extra_iterations, it_factory(False), st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
@@ -302,7 +303,7 @@ def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, join
             st = _contact_gs(st, colors, cfg, cons, mode, inv_h, False)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
+    st = sfori(cfg.iterations, substep, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
@@ -364,7 +365,7 @@ def solve_tgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         st = _contact_ngs(st, colors, cfg, cons)
         return st
 
-    st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
+    st = sfori(cfg.iterations, substep, st)
     return _finish(bodies, contacts, joints, cons, jcons, st)
 
 
@@ -402,7 +403,7 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
         st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
         return st
 
-    st = jax.lax.fori_loop(0, cfg.iterations, substep, st)
+    st = sfori(cfg.iterations, substep, st)
 
     # finalize positions, then relax with zeroed deltas (sticky.c:389-410)
     bs, n, t, jimp, fp = st
@@ -418,7 +419,7 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
         st = st4 + (fp,)
         return sticky_gs(st, False)
 
-    st = jax.lax.fori_loop(0, cfg.extra_iterations, relax, st)
+    st = sfori(cfg.extra_iterations, relax, st)
     bs, n, t, jimp, fp = st
     v, w, _, _ = unpack_body_state(bs)
 
@@ -489,7 +490,7 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         )
         return (bs, n, t, jimp)
 
-    st = jax.lax.fori_loop(0, cfg.iterations, substep, (bs, n, t, jimp))
+    st = sfori(cfg.iterations, substep, (bs, n, t, jimp))
     bs, n, t, jimp = st
     v, w, dp, rot = unpack_body_state(bs)
 
