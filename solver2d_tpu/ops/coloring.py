@@ -62,6 +62,11 @@ def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_color
     # the scan below would need 5 per round.
     rows = jnp.arange(num_bodies + 1, dtype=jnp.int32)[:, None]
     inc = ((slot_a[None, :] == rows) | (slot_b[None, :] == rows)) & (rows < num_bodies)
+    # Pin the incidence matrix: without the barrier XLA's cheap-producer
+    # duplication rematerializes the [B+1, N] build (iota+compare+or+and)
+    # inside every unrolled MIS round — ~1000 huge-tensor ops and tens of GB
+    # of HBM traffic per step at 128 worlds (seen directly in optimized HLO).
+    inc = jax.lax.optimization_barrier(inc)
 
     def one_color(uncolored, _):
         used0 = jnp.zeros((num_bodies + 1,), bool)

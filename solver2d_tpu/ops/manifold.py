@@ -115,9 +115,10 @@ def _clip_polygons(va, na, ca, ra, vb, nb, cb, rb, edge_a, edge_b, flip):
 def _find_max_separation(v1, n1, c1, v2, c2):
     """Max separation of poly2 from poly1's edges (reference: manifold.c:402-438)."""
     lanes = jnp.arange(MAX_POLYGON_VERTICES)
-    # s_ij = dot(n1_i, v2_j - v1_i)
-    diff = v2[None, :, :] - v1[:, None, :]          # [8,8,2]
-    sij = (n1[:, None, :] * diff).sum(-1)           # [8,8]
+    # s_ij = dot(n1_i, v2_j - v1_i) = n1 @ v2^T - rowdot(n1, v1); the matmul
+    # form batches onto the MXU and avoids materializing an [8,8,2] diff
+    # tensor per contact (58 MB at 128 worlds x 896 contacts)
+    sij = n1 @ v2.T - (n1 * v1).sum(-1)[:, None]    # [8,8]
     sij = jnp.where(lanes[None, :] < c2, sij, _BIG)  # min over real j
     si = sij.min(axis=1)
     si = jnp.where(lanes < c1, si, -_BIG)           # max over real i
