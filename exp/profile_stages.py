@@ -1,0 +1,174 @@
+"""Stage-level timing on the real chip: full step vs broadphase / narrowphase
+/ coloring / solver in isolation, each as a chained scan (memoization-safe).
+
+Usage: python exp/profile_stages.py [stage ...]
+Stages: full broad narrow color solve  (default: all)
+Env: S2_PROF_WORLDS (64), S2_PROF_BASE (20), S2_PROF_ITERS (10)
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from solver2d_tpu.config import SolverType
+from solver2d_tpu.models.contact_scenes import pyramid_world
+from solver2d_tpu.parallel import replicate_state
+from solver2d_tpu.step import step, update_manifolds
+from solver2d_tpu.ops import broadphase, coloring
+from solver2d_tpu.solvers.loops import SOLVERS
+from solver2d_tpu.solvers.common import make_body_map
+
+WORLDS = int(os.environ.get("S2_PROF_WORLDS", "64"))
+BASE = int(os.environ.get("S2_PROF_BASE", "20"))
+ITERS = int(os.environ.get("S2_PROF_ITERS", "10"))
+
+w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=BASE)
+state, cfg = w.freeze(
+    max_contacts=((4 * len(ids) + 127) // 128) * 128,
+    max_colors=16,
+    gjk_iters=10,
+)
+print(f"bodies={len(ids)+1} max_bodies={cfg.max_bodies} max_contacts={cfg.max_contacts} "
+      f"max_shapes={cfg.max_shapes} worlds={WORLDS}", flush=True)
+
+batch = replicate_state(state, WORLDS)
+
+# settle 10 steps so the contact table is populated like mid-run
+vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+
+
+@jax.jit
+def settle(b):
+    def body(s, _):
+        return vstep(s, jnp.float32(1 / 60)), None
+    out, _ = jax.lax.scan(body, b, None, length=10)
+    return out
+
+
+batch = settle(batch)
+batch = settle(batch)
+_ = np.asarray(batch.diag.step_id)
+print("settled", flush=True)
+
+
+def timeit(name, fn, arg):
+    fn = jax.jit(fn)
+    out = fn(arg)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    out = fn(arg)  # second call: stable layouts
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    out = fn(arg)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    dt = time.perf_counter() - t0
+    print(f"{name:>10}: {dt*1000/ITERS:8.2f} ms/iter  ({dt:.3f}s / {ITERS})", flush=True)
+
+
+def full_fn(b):
+    def body(s, _):
+        return vstep(s, jnp.float32(1 / 60)), None
+    out, _ = jax.lax.scan(body, b, None, length=ITERS)
+    return out
+
+
+# stage isolations: carry must depend on stage output. We thread a scalar
+# "salt" derived from the output into a body field so XLA can't hoist.
+
+def broad_fn(b):
+    shapes, btype = b.shapes, b.bodies.type
+    jointed = jax.vmap(partial(broadphase.jointed_body_keys, config=cfg))(b.joints)
+
+    def one(shapes):
+        if cfg.broadphase == "grid":
+            return broadphase.find_pairs_grid(shapes, btype[0], jointed[0], cfg)
+        return broadphase.find_pairs(shapes, btype[0], jointed[0], cfg)
+
+    def body(s, _):
+        pairs = jax.vmap(lambda sh: one(sh))(s)
+        import dataclasses
+        salt = (pairs.count.astype(jnp.float32) * 1e-12).reshape(-1, *([1] * (s.fat_aabb.ndim - 1)))
+        return dataclasses.replace(s, fat_aabb=s.fat_aabb + salt), pairs.count
+
+    out, _ = jax.lax.scan(body, shapes, None, length=ITERS)
+    return out
+
+
+def narrow_fn(b):
+    def body(carry, _):
+        st, contacts = carry
+        c2 = jax.vmap(partial(update_manifolds, gjk_iters=cfg.gjk_iters))(st, contacts)
+        import dataclasses
+        salt = (c2.separation.sum(axis=(1, 2)) * 1e-12)[:, None, None]
+        st2 = dataclasses.replace(
+            st, bodies=dataclasses.replace(st.bodies, origin=st.bodies.origin + salt)
+        )
+        return (st2, c2), None
+
+    (st, c), _ = jax.lax.scan(body, (b, b.contacts), None, length=ITERS)
+    return c
+
+
+def color_fn(b):
+    dyn = (b.bodies.type == 2) & b.bodies.alive
+    touching = b.contacts.alive & (b.contacts.point_count > 0)
+
+    def one(ba, bb, t, d):
+        col, ovf = coloring.color_graph(ba, bb, t, d, cfg.max_bodies, cfg.max_colors)
+        cmap = make_body_map(ba, bb, col, t, d, cfg.max_bodies, cfg.max_colors)
+        return col, ovf, cmap
+
+    def body(carry, _):
+        ba, bb = carry
+        col, ovf, cmap = jax.vmap(one)(ba, bb, touching, dyn)
+        salt = (col.sum(-1) * 0).astype(jnp.int32)[:, None]
+        return (ba + salt, bb), ovf
+
+    out, _ = jax.lax.scan(body, (b.contacts.body_a, b.contacts.body_b), None, length=ITERS)
+    return out
+
+
+def solve_fn(b):
+    dyn = (b.bodies.type == 2) & b.bodies.alive
+    touching = b.contacts.alive & (b.contacts.point_count > 0)
+
+    def mk_colors(ba, bb, ja, jb, jal, jt, d):
+        cc, _ = coloring.color_graph(ba, bb, touching[0], d, cfg.max_bodies, cfg.max_colors)
+        jc, _ = coloring.color_graph(ja, jb, jal, d, cfg.max_bodies, cfg.joint_max_colors)
+        cm = make_body_map(ba, bb, cc, touching[0], d, cfg.max_bodies, cfg.max_colors)
+        jm = make_body_map(ja, jb, jc, jal, d, cfg.max_bodies, cfg.joint_max_colors, write_a_extra=jt != 1)
+        return cc, cm, jc, jm
+
+    colors = jax.vmap(mk_colors)(
+        b.contacts.body_a, b.contacts.body_b,
+        b.joints.body_a, b.joints.body_b, b.joints.alive, b.joints.type, dyn,
+    )
+    solver = SOLVERS[cfg.solver]
+
+    def one(bodies, contacts, joints, colors, gravity):
+        return solver(bodies, contacts, joints, colors, gravity, jnp.float32(1 / 60), cfg)
+
+    def body(carry, _):
+        bodies = carry
+        nb, nc, nj = jax.vmap(one)(bodies, b.contacts, b.joints, colors, b.gravity)
+        return nb, None
+
+    out, _ = jax.lax.scan(body, b.bodies, None, length=ITERS)
+    return out
+
+
+STAGES = {
+    "full": full_fn,
+    "broad": broad_fn,
+    "narrow": narrow_fn,
+    "color": color_fn,
+    "solve": solve_fn,
+}
+
+names = sys.argv[1:] or list(STAGES)
+for name in names:
+    timeit(name, STAGES[name], batch)
