@@ -26,9 +26,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import AABB_MARGIN, SPECULATIVE_DISTANCE, SimConfig
-from .gather import tgather
+from .gather import tgather, tscatter_max
 from ..state import Contacts, Shapes
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
@@ -86,9 +87,12 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     sort_key = jnp.where(alive, lo, jnp.inf)
     order = jnp.argsort(sort_key)  # [S]
 
+    # two packed gathers supply every per-candidate field (see
+    # _pack_shape_rows): rows in sorted order, then partner rows
+    packed = _pack_shape_rows(shapes, body_type, jnp.zeros_like(alive))
+    packed_s = tgather(packed, order)                               # [S,10]
     lo_s = tgather(lo, order)
-    hi_s = tgather(hi, order)
-    fat_s = tgather(fat, order)
+    hi_s = jnp.where(axis == 0, packed_s[:, 2], packed_s[:, 3])
 
     # candidates: for rank r, partners at ranks r+1..r+K
     ranks = jnp.arange(S)
@@ -99,18 +103,12 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     a_idx = order[:, None] * jnp.ones((1, K), jnp.int32)             # [S,K]
     b_idx = tgather(order, partner_rank_c)                           # [S,K]
 
-    # sweep overlap on the sort axis
-    overlap_axis = tgather(lo_s, partner_rank_c) <= hi_s[:, None]
-    # full AABB overlap
-    fb = tgather(fat_s, partner_rank_c)                              # [S,K,4]
-    fa = fat_s[:, None, :]
-    overlap = (
-        (fa[..., 0] <= fb[..., 2]) & (fb[..., 0] <= fa[..., 2])
-        & (fa[..., 1] <= fb[..., 3]) & (fb[..., 1] <= fa[..., 3])
-    )
+    rows_a = packed_s[:, None, :]
+    rows_b = tgather(packed_s, partner_rank_c)                       # [S,K,10]
 
-    valid = in_range & overlap_axis & overlap
-    valid &= tgather(alive, a_idx) & tgather(alive, b_idx)
+    # sweep overlap on the sort axis (partner lo from its packed fat lanes)
+    lo_b = jnp.where(axis == 0, rows_b[..., 0], rows_b[..., 1])
+    valid = in_range & (lo_b <= hi_s[:, None])
 
     # window overflow: the (K+1)-th successor still sweep-overlaps
     last_rank = ranks + 1 + K
@@ -118,26 +116,9 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     last_lo = tgather(lo_s, jnp.minimum(last_rank, S - 1))
     window_overflow = jnp.any(last_ok & (last_lo <= hi_s) & (sort_key != jnp.inf))
 
-    # pair rules (reference: src/broad_phase.c:166-258)
-    body_a = tgather(shapes.body, a_idx)
-    body_b = tgather(shapes.body, b_idx)
-    valid &= body_a != body_b
-    # at least one dynamic
-    valid &= (tgather(body_type, body_a) == 2) | (tgather(body_type, body_b) == 2)
-    # filters (reference: src/contact.h:70-79)
-    ga = tgather(shapes.filter_group, a_idx)
-    gb = tgather(shapes.filter_group, b_idx)
-    same_group = (ga == gb) & (ga != 0)
-    mask_ok = (
-        ((tgather(shapes.filter_mask, a_idx) & tgather(shapes.filter_category, b_idx)) != 0)
-        & ((tgather(shapes.filter_category, a_idx) & tgather(shapes.filter_mask, b_idx)) != 0)
-    )
-    valid &= jnp.where(same_group, ga > 0, mask_ok)
-    # joint-connected suppression (reference: src/body.c:386-417)
-    bkey = jnp.minimum(body_a, body_b) * config.max_bodies + jnp.maximum(body_a, body_b)
-    # membership test by direct comparison: the jointed list is tiny and
-    # searchsorted's scan-mode binary search is gather-bound under vmap
-    valid &= ~(bkey[..., None] == jointed_keys[None, None, :]).any(-1)
+    # pair rules incl. full AABB overlap (reference: src/broad_phase.c:166-258)
+    rules_ok, _, _ = _pair_rules(rows_a, rows_b, jointed_keys, config.max_bodies)
+    valid &= rules_ok
 
     # canonical order: a < b
     a_c = jnp.minimum(a_idx, b_idx)
@@ -148,17 +129,16 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     # appears once in the window scheme)
     C = config.max_contacts
     flat_key = pair_key.reshape(-1)
-    flat_a = a_c.reshape(-1)
-    flat_b = b_c.reshape(-1)
     count = (flat_key != INT32_MAX).sum()
 
-    top_key, top_pos = jax.lax.top_k(-flat_key, C)
+    top_key, _ = jax.lax.top_k(-flat_key, C)
     top_key = -top_key
-    sa = jnp.where(top_key != INT32_MAX, tgather(flat_a, top_pos), 0)
-    sb = jnp.where(top_key != INT32_MAX, tgather(flat_b, top_pos), 0)
+    filled = top_key != INT32_MAX
+    sa = jnp.where(filled, top_key // S, 0)
+    sb = jnp.where(filled, top_key % S, 0)
 
     overflow = window_overflow | (count > C)
-    return PairResult(sa, sb, top_key, top_key != INT32_MAX, count, overflow)
+    return PairResult(sa, sb, top_key, filled, count, overflow)
 
 
 def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type: jnp.ndarray, body_of) -> Contacts:
@@ -176,47 +156,88 @@ def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type
     # 128 worlds x 896 contacts
     pos = jnp.searchsorted(old_key, new_key, method="sort")
     pos = jnp.minimum(pos, old_key.shape[0] - 1)
-    found = (tgather(old_key, pos) == new_key) & (new_key != INT32_MAX) & tgather(old.alive, pos)
 
-    def carry(old_arr, default_val):
-        gathered = tgather(old_arr, pos)
-        if gathered.ndim == 1:
-            return jnp.where(found, gathered, default_val)
-        return jnp.where(found.reshape(found.shape + (1,) * (gathered.ndim - 1)), gathered, default_val)
+    # every carried field rides ONE packed row-gather (row-gathers have a
+    # large fixed per-row cost on TPU; see CLAUDE.md)
+    Cn = old_key.shape[0]
+
+    def flat2(x):
+        return x.reshape(Cn, -1).astype(jnp.float32) if x.dtype == jnp.float32 else _i2f(x.reshape(Cn, -1))
+
+    lanes = [
+        old.normal, old.anchor_a, old.anchor_b, old.separation,
+        old.normal_impulse, old.tangent_impulse,
+        old.friction_normal_a, old.friction_normal_b,
+        old.friction_anchor_a, old.friction_anchor_b,
+        old.point_id, old.point_count, old.cache_count,
+        old.cache_index_a, old.cache_index_b,
+        old.persisted, old.friction_persisted,
+        old.color, old_key, old.alive,
+    ]
+    packed = jnp.concatenate([flat2(x) for x in lanes], axis=-1)
+    rows = tgather(packed, pos)
+
+    offs = []
+    o = 0
+    for x in lanes:
+        n = int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
+        offs.append((o, o + n))
+        o += n
+    (L_NORMAL, L_AA, L_AB, L_SEP, L_NI, L_TI, L_FNA, L_FNB, L_FAA, L_FAB,
+     L_PID, L_PC, L_CC, L_CIA, L_CIB, L_PERS, L_FP, L_COLOR, L_KEY, L_ALIVE) = offs
+
+    def fpart(span, shape=None):
+        v = rows[:, span[0]:span[1]]
+        return v if shape is None else v.reshape((Cn,) + shape)
+
+    def ipart(span, shape=None):
+        v = _f2i(rows[:, span[0]:span[1]])
+        return v if shape is None else v.reshape((Cn,) + shape)
+
+    found = (
+        (ipart(L_KEY)[:, 0] == new_key)
+        & (new_key != INT32_MAX)
+        & (ipart(L_ALIVE)[:, 0] != 0)
+    )
+
+    def keep(val, default_val):
+        f = found.reshape(found.shape + (1,) * (val.ndim - 1))
+        return jnp.where(f, val, default_val)
 
     sa, sb = pairs.shape_a, pairs.shape_b
-    friction = jnp.sqrt(tgather(shapes.friction, sa) * tgather(shapes.friction, sb))          # contact.c:42-45
-    restitution = jnp.maximum(tgather(shapes.restitution, sa), tgather(shapes.restitution, sb))  # contact.c:47-52
-
-    C = new_key.shape[0]
-    z2 = jnp.zeros((C, 2), jnp.float32)
-    z22 = jnp.zeros((C, 2, 2), jnp.float32)
+    # per-shape material: one packed gather per endpoint
+    mat = jnp.stack([shapes.friction, shapes.restitution, _i2f(body_of)], axis=-1)
+    mat_a = tgather(mat, sa)
+    mat_b = tgather(mat, sb)
+    friction = jnp.sqrt(mat_a[:, 0] * mat_b[:, 0])                 # contact.c:42-45
+    restitution = jnp.maximum(mat_a[:, 1], mat_b[:, 1])            # contact.c:47-52
 
     return Contacts(
         key=new_key,
         shape_a=sa,
         shape_b=sb,
-        body_a=tgather(body_of, sa),
-        body_b=tgather(body_of, sb),
+        body_a=_f2i(mat_a[:, 2]),
+        body_b=_f2i(mat_b[:, 2]),
         friction=friction,
         restitution=restitution,
-        normal=carry(old.normal, z2),
-        anchor_a=carry(old.anchor_a, z22),
-        anchor_b=carry(old.anchor_b, z22),
-        separation=carry(old.separation, z2),
-        normal_impulse=carry(old.normal_impulse, z2),
-        tangent_impulse=carry(old.tangent_impulse, z2),
-        point_id=carry(old.point_id, jnp.zeros((C, 2), jnp.int32)),
-        persisted=carry(old.persisted, jnp.zeros((C, 2), bool)),
-        point_count=carry(old.point_count, jnp.zeros((C,), jnp.int32)),
-        friction_normal_a=carry(old.friction_normal_a, z22),
-        friction_normal_b=carry(old.friction_normal_b, z22),
-        friction_anchor_a=carry(old.friction_anchor_a, z22),
-        friction_anchor_b=carry(old.friction_anchor_b, z22),
-        friction_persisted=carry(old.friction_persisted, jnp.zeros((C,), bool)),
-        cache_count=carry(old.cache_count, jnp.zeros((C,), jnp.int32)),
-        cache_index_a=carry(old.cache_index_a, jnp.zeros((C, 3), jnp.int32)),
-        cache_index_b=carry(old.cache_index_b, jnp.zeros((C, 3), jnp.int32)),
+        normal=keep(fpart(L_NORMAL), 0.0),
+        anchor_a=keep(fpart(L_AA, (2, 2)), 0.0),
+        anchor_b=keep(fpart(L_AB, (2, 2)), 0.0),
+        separation=keep(fpart(L_SEP), 0.0),
+        normal_impulse=keep(fpart(L_NI), 0.0),
+        tangent_impulse=keep(fpart(L_TI), 0.0),
+        point_id=keep(ipart(L_PID), 0),
+        persisted=keep(ipart(L_PERS) != 0, False),
+        point_count=keep(ipart(L_PC)[:, 0], 0),
+        friction_normal_a=keep(fpart(L_FNA, (2, 2)), 0.0),
+        friction_normal_b=keep(fpart(L_FNB, (2, 2)), 0.0),
+        friction_anchor_a=keep(fpart(L_FAA, (2, 2)), 0.0),
+        friction_anchor_b=keep(fpart(L_FAB, (2, 2)), 0.0),
+        friction_persisted=keep(ipart(L_FP)[:, 0] != 0, False),
+        cache_count=keep(ipart(L_CC)[:, 0], 0),
+        cache_index_a=keep(ipart(L_CIA), 0),
+        cache_index_b=keep(ipart(L_CIB), 0),
+        color=keep(ipart(L_COLOR)[:, 0], -1),
         alive=pairs.valid,
     )
 
@@ -227,6 +248,82 @@ def jointed_body_keys(joints, config: SimConfig) -> jnp.ndarray:
     key = jnp.minimum(ba, bb) * config.max_bodies + jnp.maximum(ba, bb)
     key = jnp.where(joints.alive & ~joints.collide_connected, key, INT32_MAX)
     return jnp.sort(key)
+
+
+# --------------------------------------------------------- packed shape rows
+#
+# TPU row-gathers have a large fixed per-row cost (see CLAUDE.md), so all
+# per-shape fields consulted per candidate pair are packed into ONE [S, 10]
+# f32 matrix (int lanes bitcast) and gathered once per candidate set instead
+# of once per field.
+#
+# lanes: [0:4] fat aabb | 4 body (i32) | 5 group (i32) | 6 mask (i32)
+#        | 7 category (i32) | 8 flags (i32: 1=alive, 2=dynamic-body, 4=small)
+#        | 9 pad
+
+_F_BODY, _F_GROUP, _F_MASK, _F_CAT, _F_FLAGS = 4, 5, 6, 7, 8
+_FL_ALIVE, _FL_DYN, _FL_SMALL = 1, 2, 4
+
+
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+
+def _f2i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _pack_shape_rows(shapes: Shapes, body_type: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
+    dyn = tgather(body_type, shapes.body) == 2
+    flags = (
+        shapes.alive.astype(jnp.int32) * _FL_ALIVE
+        + dyn.astype(jnp.int32) * _FL_DYN
+        + small.astype(jnp.int32) * _FL_SMALL
+    )
+    return jnp.concatenate(
+        [
+            shapes.fat_aabb,
+            _i2f(shapes.body)[:, None],
+            _i2f(shapes.filter_group)[:, None],
+            _i2f(shapes.filter_mask)[:, None],
+            _i2f(shapes.filter_category)[:, None],
+            _i2f(flags)[:, None],
+            jnp.zeros((shapes.fat_aabb.shape[0], 1), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def _pair_rules(rows_a, rows_b, jointed_keys, max_bodies: int):
+    """Evaluate the s2PairQueryCallback rules (reference:
+    src/broad_phase.c:166-258) on packed candidate rows. rows_a: [..., 10]
+    (broadcastable against rows_b). Returns (valid mask, body_a, body_b)."""
+    fa, fb = rows_a[..., 0:4], rows_b[..., 0:4]
+    overlap = (
+        (fa[..., 0] <= fb[..., 2]) & (fb[..., 0] <= fa[..., 2])
+        & (fa[..., 1] <= fb[..., 3]) & (fb[..., 1] <= fa[..., 3])
+    )
+    body_a = _f2i(rows_a[..., _F_BODY])
+    body_b = _f2i(rows_b[..., _F_BODY])
+    flags_a = _f2i(rows_a[..., _F_FLAGS])
+    flags_b = _f2i(rows_b[..., _F_FLAGS])
+    valid = overlap & ((flags_a & flags_b & _FL_ALIVE) != 0)
+    valid &= body_a != body_b
+    # at least one dynamic
+    valid &= ((flags_a | flags_b) & _FL_DYN) != 0
+    # filters (reference: src/contact.h:70-79)
+    ga = _f2i(rows_a[..., _F_GROUP])
+    gb = _f2i(rows_b[..., _F_GROUP])
+    same_group = (ga == gb) & (ga != 0)
+    mask_ok = (
+        ((_f2i(rows_a[..., _F_MASK]) & _f2i(rows_b[..., _F_CAT])) != 0)
+        & ((_f2i(rows_a[..., _F_CAT]) & _f2i(rows_b[..., _F_MASK])) != 0)
+    )
+    valid &= jnp.where(same_group, ga > 0, mask_ok)
+    # joint-connected suppression (reference: src/body.c:386-417)
+    bkey = jnp.minimum(body_a, body_b) * max_bodies + jnp.maximum(body_a, body_b)
+    valid &= ~(bkey[..., None] == jointed_keys).any(-1)
+    return valid, body_a, body_b
 
 
 # --------------------------------------------------------- hashed uniform grid
@@ -270,9 +367,10 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     order = jnp.argsort(hashes)          # small shapes sorted by cell hash
     sorted_hash = tgather(hashes, order)
 
-    # per-shape candidate lists from the 3x3 neighborhood
+    # per-shape candidate lists from the 3x3 neighborhood; all nine
+    # rank-position lookups fold into ONE row-gather at the end
     neighbor_offsets = [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
-    cand_list = []
+    pos_list = []
     cand_valid = []
     overflow = jnp.zeros((), bool)
     lanes = jnp.arange(M)
@@ -285,20 +383,22 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
         count = hi - lo
         overflow = overflow | jnp.any(small & (count > M))
         pos = jnp.minimum(lo[:, None] + lanes[None, :], S - 1)   # [S,M]
-        cand = tgather(order, pos)
         valid = (lanes[None, :] < count[:, None]) & small[:, None]
-        cand_list.append(cand)
+        pos_list.append(pos)
         cand_valid.append(valid)
 
-    grid_cand = jnp.concatenate(cand_list, axis=1)      # [S, 9M]
+    grid_cand = tgather(order, jnp.concatenate(pos_list, axis=1))  # [S, 9M]
     grid_valid = jnp.concatenate(cand_valid, axis=1)
 
-    # big-shape candidates: indices of big shapes, padded
+    # big-shape candidates: indices of big shapes, padded. One flat
+    # max-scatter with non-big shapes routed to a sink slot (the old .set
+    # formulation let non-big writers clobber slot G-1 when exactly G big
+    # shapes existed).
     big_rank = jnp.cumsum(big) - 1
-    big_idx = jnp.full((G,), 0, jnp.int32)
-    big_idx = big_idx.at[jnp.where(big, jnp.minimum(big_rank, G - 1), G - 1)].set(
-        jnp.arange(S, dtype=jnp.int32), mode="drop"
-    )
+    big_tbl = jnp.zeros((G + 1,), jnp.int32)
+    big_cells = jnp.where(big, jnp.minimum(big_rank, G - 1), G)
+    big_tbl = tscatter_max(big_tbl, big_cells, jnp.arange(S, dtype=jnp.int32))
+    big_idx = big_tbl[:G]
     big_slot_valid = jnp.arange(G) < jnp.minimum(big.sum(), G)
     overflow = overflow | (big.sum() > G)
 
@@ -310,38 +410,24 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     b_idx = jnp.concatenate([grid_cand, big_cand], axis=1)
     valid = jnp.concatenate([grid_valid, big_cand_valid], axis=1)
 
+    # one packed gather supplies every per-candidate field (a-side rows are
+    # the shapes themselves: no gather)
+    packed = _pack_shape_rows(shapes, body_type, small)
+    rows_a = packed[:, None, :]                                   # [S,1,10]
+    rows_b = tgather(packed, b_idx)                               # [S,9M+G,10]
+
     # keep each unordered pair once: grid-grid and big-big by a<b; small-a vs
     # big-b always kept from the small side (a may be > b), so canonicalize
     # below and drop a==b
     valid &= a_idx != b_idx
-    small_a = tgather(small, a_idx)
-    both_small = small_a & tgather(small, b_idx)
-    both_big = tgather(big, a_idx) & tgather(big, b_idx)
+    small_a = small[:, None]
+    small_b = (_f2i(rows_b[..., _F_FLAGS]) & _FL_SMALL) != 0
+    both_small = small_a & small_b
+    both_big = ~small_a & ~small_b & big[:, None]
     valid &= jnp.where(both_small | both_big, a_idx < b_idx, small_a)
 
-    # AABB overlap
-    fa = tgather(fat, a_idx)
-    fb = tgather(fat, b_idx)
-    valid &= (
-        (fa[..., 0] <= fb[..., 2]) & (fb[..., 0] <= fa[..., 2])
-        & (fa[..., 1] <= fb[..., 3]) & (fb[..., 1] <= fa[..., 3])
-    )
-
-    # pair rules (same as find_pairs)
-    body_a = tgather(shapes.body, a_idx)
-    body_b = tgather(shapes.body, b_idx)
-    valid &= body_a != body_b
-    valid &= (tgather(body_type, body_a) == 2) | (tgather(body_type, body_b) == 2)
-    ga = tgather(shapes.filter_group, a_idx)
-    gb = tgather(shapes.filter_group, b_idx)
-    same_group = (ga == gb) & (ga != 0)
-    mask_ok = (
-        ((tgather(shapes.filter_mask, a_idx) & tgather(shapes.filter_category, b_idx)) != 0)
-        & ((tgather(shapes.filter_category, a_idx) & tgather(shapes.filter_mask, b_idx)) != 0)
-    )
-    valid &= jnp.where(same_group, ga > 0, mask_ok)
-    bkey = jnp.minimum(body_a, body_b) * config.max_bodies + jnp.maximum(body_a, body_b)
-    valid &= ~(bkey[..., None] == jointed_keys[None, None, :]).any(-1)
+    rules_ok, _, _ = _pair_rules(rows_a, rows_b, jointed_keys, config.max_bodies)
+    valid &= rules_ok
 
     a_c = jnp.minimum(a_idx, b_idx)
     b_c = jnp.maximum(a_idx, b_idx)
@@ -349,17 +435,17 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
 
     C = config.max_contacts
     flat_key = pair_key.reshape(-1)
-    flat_a = a_c.reshape(-1)
-    flat_b = b_c.reshape(-1)
     count = (flat_key != INT32_MAX).sum()
 
-    top_key, top_pos = jax.lax.top_k(-flat_key, C)
+    top_key, _ = jax.lax.top_k(-flat_key, C)
     top_key = -top_key
     # drop duplicates (possible only under a 3x3-neighbor hash collision):
     # keys are ascending after top_k, so duplicates are adjacent
     dup = jnp.concatenate([jnp.zeros((1,), bool), top_key[1:] == top_key[:-1]])
     top_key = jnp.where(dup, INT32_MAX, top_key)
-    sa = jnp.where(top_key != INT32_MAX, tgather(flat_a, top_pos), 0)
-    sb = jnp.where(top_key != INT32_MAX, tgather(flat_b, top_pos), 0)
+    # shape indices decode from the key (S^2 < 2^31 is checked at freeze)
+    filled = top_key != INT32_MAX
+    sa = jnp.where(filled, top_key // S, 0)
+    sb = jnp.where(filled, top_key % S, 0)
     overflow = overflow | (count > C)
-    return PairResult(sa, sb, top_key, top_key != INT32_MAX, count, overflow)
+    return PairResult(sa, sb, top_key, filled, count, overflow)

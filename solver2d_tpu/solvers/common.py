@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import (
     BAUMGARTE,
@@ -28,7 +29,7 @@ from ..config import (
     PI,
 )
 from ..ops import math2d as m
-from ..ops.gather import tgather
+from ..ops.gather import tgather, tscatter_add
 from ..state import Bodies, Contacts
 
 
@@ -140,16 +141,22 @@ def prepare_contacts(bodies: Bodies, contacts: Contacts, *, h, hertz, soft: bool
 
     Returns (cons, normal_impulse, tangent_impulse)."""
     ia, ib = contacts.body_a, contacts.body_b
-    mA, iA = tgather(bodies.inv_mass, ia), tgather(bodies.inv_inertia, ia)
-    mB, iB = tgather(bodies.inv_mass, ib), tgather(bodies.inv_inertia, ib)
-    qA, qB = tgather(bodies.rot, ia), tgather(bodies.rot, ib)
+    # one packed row-gather per endpoint (TPU row-gathers have a large fixed
+    # per-row cost): [inv_mass, inv_I, rot(2), local_center(2)]
+    bconst = jnp.concatenate(
+        [bodies.inv_mass[:, None], bodies.inv_inertia[:, None], bodies.rot, bodies.local_center],
+        axis=-1,
+    )
+    ra, rb = tgather(bconst, ia), tgather(bconst, ib)
+    mA, iA, qA, lcA = ra[:, 0], ra[:, 1], ra[:, 2:4], ra[:, 4:6]
+    mB, iB, qB, lcB = rb[:, 0], rb[:, 1], rb[:, 2:4], rb[:, 4:6]
 
     active = contacts.alive & (contacts.point_count > 0)
     pmask = active[:, None] & (jnp.arange(2)[None, :] < contacts.point_count[:, None])
 
     normal = contacts.normal
-    la = contacts.anchor_a - tgather(bodies.local_center, ia)[:, None, :]
-    lb = contacts.anchor_b - tgather(bodies.local_center, ib)[:, None, :]
+    la = contacts.anchor_a - lcA[:, None, :]
+    lb = contacts.anchor_b - lcB[:, None, :]
     rA = m.rotate(qA[:, None, :], la)
     rB = m.rotate(qB[:, None, :], lb)
 
@@ -190,33 +197,6 @@ def prepare_contacts(bodies: Bodies, contacts: Contacts, *, h, hertz, soft: bool
     return cons, n_imp, t_imp
 
 
-# ---------------------------------------------------------------- warm start
-
-def warm_start(v, w, cons: ContactCons, n_imp, t_imp, rot=None, fixed_anchors: bool = False):
-    """Apply accumulated impulses (reference: src/solve_common.c:276-326;
-    fixed-anchor variant src/solve_soft_step.c:16-63). Order-independent, so a
-    single scatter-add over all contacts (no coloring needed)."""
-    if fixed_anchors:
-        rA, rB = cons.r_a0, cons.r_b0
-    else:
-        qA, qB = tgather(rot, cons.ia), tgather(rot, cons.ib)
-        rA = m.rotate(qA[:, None, :], cons.local_anchor_a)
-        rB = m.rotate(qB[:, None, :], cons.local_anchor_b)
-
-    tangent = m.right_perp(cons.normal)
-    P = n_imp[..., None] * cons.normal[:, None, :] + t_imp[..., None] * tangent[:, None, :]  # [C,2,2]
-    P = jnp.where(cons.pmask[..., None], P, 0.0)
-    P_tot = P.sum(axis=1)  # [C,2]
-    torque_a = m.cross(rA, P).sum(axis=1)  # [C]
-    torque_b = m.cross(rB, P).sum(axis=1)
-
-    v = v.at[cons.ia].add(-cons.inv_mass_a[:, None] * P_tot)
-    w = w.at[cons.ia].add(-cons.inv_i_a * torque_a)
-    v = v.at[cons.ib].add(cons.inv_mass_b[:, None] * P_tot)
-    w = w.at[cons.ib].add(cons.inv_i_b * torque_b)
-    return v, w
-
-
 # ---------------------------------------------------------- colored GS driver
 
 from typing import NamedTuple as _NamedTuple
@@ -245,8 +225,12 @@ def make_body_map(body_a, body_b, color, active, dyn_mask, num_bodies, n_colors,
     slot = build_body_map(body_a, body_b, color, active, write_a, write_b, num_bodies, n_colors)
     n_colors_i = slot.shape[1]
     flat_slot = slot.reshape(-1)
-    own_a = ~write_a | (tgather(flat_slot, body_a * n_colors_i + color) == idx)
-    own_b = ~write_b | (tgather(flat_slot, body_b * n_colors_i + color) == idx)
+    N = body_a.shape[0]
+    c = jnp.clip(color, 0, n_colors_i - 1)
+    cells = jnp.concatenate([body_a, body_b]) * n_colors_i + jnp.concatenate([c, c])
+    got = tgather(flat_slot, cells)
+    own_a = ~write_a | (got[:N] == idx)
+    own_b = ~write_b | (got[N:] == idx)
     return BodyMap(slot=slot, winner=own_a & own_b)
 
 
@@ -281,20 +265,52 @@ def pack_rows(v, w, dp, rot):
     )
 
 
+def gather_rows2(bs, ia, ib):
+    """Gather endpoint rows for both ends in ONE row-gather call (row-gathers
+    carry a large fixed per-call cost on TPU). Returns (rows_a, rows_b)."""
+    C = ia.shape[0]
+    rows = tgather(bs, jnp.concatenate([ia, ib]))
+    return rows[:C], rows[C:]
+
+
 def gather_apply(slot_k, body_a, values_a, values_b, targets):
     """Apply per-constraint endpoint values to per-body arrays by gathering.
 
     slot_k: [B] constraint index for this color (-1 = untouched);
-    values_a/values_b: tuples of [C, ...] new values for endpoint A/B;
-    targets: tuple of [B, ...] arrays. Returns updated targets."""
+    values_a/values_b: tuples of [C, ...] f32 new values for endpoint A/B;
+    targets: tuple of [B, ...] f32 arrays. Returns updated targets.
+
+    All endpoint values plus the constraint's body-A index ride ONE packed
+    row-gather (the per-call fixed cost dominates on TPU)."""
     B = targets[0].shape[0]
+    C = body_a.shape[0]
     ci = jnp.maximum(slot_k, 0)
     valid = slot_k >= 0
-    is_a = tgather(body_a, ci) == jnp.arange(B, dtype=body_a.dtype)
+
+    import jax as _jax
+
+    def lanes(x):
+        return x.reshape(C, -1)
+
+    packed = jnp.concatenate(
+        [lanes(v) for v in values_a]
+        + [lanes(v) for v in values_b]
+        + [_jax.lax.bitcast_convert_type(body_a, jnp.float32)[:, None]],
+        axis=-1,
+    )
+    rows = tgather(packed, ci)  # [B, sum(k)*2 + 1]
+    is_a = _jax.lax.bitcast_convert_type(rows[:, -1], jnp.int32) == jnp.arange(B, dtype=body_a.dtype)
+
     outs = []
-    for arr, da, db in zip(targets, values_a, values_b):
-        sel = jnp.where(_exp(is_a, arr.ndim), tgather(da, ci), tgather(db, ci))
+    o = 0
+    na = sum(int(np.prod(v.shape[1:])) for v in values_a)
+    for arr, va in zip(targets, values_a):
+        k = int(np.prod(va.shape[1:]))
+        a_val = rows[:, o:o + k].reshape((B,) + va.shape[1:])
+        b_val = rows[:, na + o:na + o + k].reshape((B,) + va.shape[1:])
+        sel = jnp.where(_exp(is_a, arr.ndim), a_val, b_val)
         outs.append(jnp.where(_exp(valid, arr.ndim), sel, arr))
+        o += k
     return tuple(outs)
 
 
@@ -357,8 +373,7 @@ def warm_start_packed(bs, cons: ContactCons, n_imp, t_imp, fixed_anchors: bool =
     z1 = jnp.zeros_like(torque_a[:, None])
     dA = jnp.concatenate([-cons.inv_mass_a[:, None] * P_tot, (-cons.inv_i_a * torque_a)[:, None], z2, z2, z1], axis=-1)
     dB = jnp.concatenate([cons.inv_mass_b[:, None] * P_tot, (cons.inv_i_b * torque_b)[:, None], z2, z2, z1], axis=-1)
-    bs = bs.at[cons.ia].add(dA)
-    bs = bs.at[cons.ib].add(dB)
+    bs = tscatter_add(bs, jnp.concatenate([cons.ia, cons.ib]), jnp.concatenate([dA, dB]))
     return bs
 
 
@@ -371,8 +386,7 @@ def ngs_pass(bs, cons: ContactCons, k, bmap: "BodyMap"):
     ia, ib = cons.ia, cons.ib
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
-    rowsA = tgather(bs, ia)
-    rowsB = tgather(bs, ib)
+    rowsA, rowsB = gather_rows2(bs, ia, ib)
     vA, wA, dcA, qA = unpack_rows(rowsA)
     vB, wB, dcB, qB = unpack_rows(rowsB)
     normal = cons.normal

@@ -33,7 +33,7 @@ from ..config import (
 )
 from ..ops import math2d as m
 from ..ops.gather import tgather
-from .common import ContactCons
+from .common import ContactCons, gather_rows2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,8 +188,9 @@ def gs_contact_pass(carry, k, cons: ContactCons, mode: SolveMode, inv_h, use_bia
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA, qA = unpack_rows(_ra)
+    vB, wB, dcB, qB = unpack_rows(_rb)
 
     vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
         cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
@@ -210,8 +211,9 @@ def jacobi_contact_pass(bs, cons: ContactCons, n_imp, t_imp, mode: SolveMode, in
     from .common import unpack_rows
 
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA, qA = unpack_rows(_ra)
+    vB, wB, dcB, qB = unpack_rows(_rb)
 
     vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
         cons, vA, wA, vB, wB, qA, qB, dcA, dcB, n_imp, t_imp, mode, inv_h, use_bias
@@ -222,8 +224,9 @@ def jacobi_contact_pass(bs, cons: ContactCons, n_imp, t_imp, mode: SolveMode, in
     z1 = jnp.zeros((ia.shape[0], 1), bs.dtype)
     dA = jnp.concatenate([jnp.where(updn, vA2 - vA, 0.0), jnp.where(upd, wA2 - wA, 0.0)[:, None], z2, z2, z1], axis=-1)
     dB = jnp.concatenate([jnp.where(updn, vB2 - vB, 0.0), jnp.where(upd, wB2 - wB, 0.0)[:, None], z2, z2, z1], axis=-1)
-    bs = bs.at[ia].add(dA)
-    bs = bs.at[ib].add(dB)
+    from ..ops.gather import tscatter_add
+
+    bs = tscatter_add(bs, jnp.concatenate([ia, ib]), jnp.concatenate([dA, dB]))
     n_imp = jnp.where(updn, n2, n_imp)
     t_imp = jnp.where(updn, t2, t_imp)
     return bs, n_imp, t_imp
@@ -269,8 +272,9 @@ def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA_r, qA_r = unpack_rows(tgather(bs, ia))
-    vB, wB, dcB_r, qB_r = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA_r, qA_r = unpack_rows(_ra)
+    vB, wB, dcB_r, qB_r = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -377,8 +381,9 @@ def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap):
 
     bs = carry
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA_r, wA_r, dcA, qA = unpack_rows(_ra)
+    vB_r, wB_r, dcB, qB = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -536,8 +541,9 @@ def sticky_velocity_pass(carry, k, cons: ContactCons, lfa, lfb, tangent_sep, sti
 
     bs, n_imp, t_imp, fric_persisted = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA, qA = unpack_rows(_ra)
+    vB, wB, dcB, qB = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -618,8 +624,9 @@ def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap):
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA_r, wA_r, dcA, qA = unpack_rows(_ra)
+    vB_r, wB_r, dcB, qB = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal
@@ -692,8 +699,9 @@ def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap):
 
     bs, n_imp, t_imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA_r, qA = unpack_rows(tgather(bs, ia))
-    vB, wB, dcB_r, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA_r, qA = unpack_rows(_ra)
+    vB, wB, dcB_r, qB = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     normal = cons.normal

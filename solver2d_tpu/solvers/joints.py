@@ -33,6 +33,7 @@ from ..config import (
 from ..ops import math2d as m
 from ..ops.gather import tgather
 from ..state import Bodies, Joints
+from .common import gather_rows2
 
 
 class JointCons(NamedTuple):
@@ -148,11 +149,12 @@ def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm
 def warm_start_pass(bs, k, cons: JointCons, imp: JointImp, bmap):
     """(revolute_joint.c:107-150, mouse_joint.c:85-107) — applied per color
     via the body map (scatter-free). Packed body state."""
-    from .common import gather_apply, pack_rows, unpack_rows
+    from .common import gather_apply, pack_rows, unpack_rows, gather_rows2
 
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB, wB, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA, qA = unpack_rows(_ra)
+    vB, wB, dcB, qB = unpack_rows(_rb)
     rA = m.rotate(qA, cons.local_anchor_a)
     rB = m.rotate(qB, cons.local_anchor_b)
     axial = imp.motor + imp.lower - imp.upper
@@ -257,8 +259,9 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
 
     bs, imp = carry
     ia, ib = cons.ia, cons.ib
-    vA, wA, dcA_r, qA = unpack_rows(tgather(bs, ia))
-    vB, wB, dcB_r, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA_r, qA = unpack_rows(_ra)
+    vB, wB, dcB_r, qB = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
 
@@ -347,8 +350,9 @@ def position_pass(bs, k, cons: JointCons, color, bmap):
     from .common import pack_rows, unpack_rows
 
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA_r, wA_r, dcA, qA = unpack_rows(_ra)
+    vB_r, wB_r, dcB, qB = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     fixed_rot = (iA + iB) == 0.0
@@ -385,8 +389,7 @@ def position_pass(bs, k, cons: JointCons, color, bmap):
     from .common import gather_apply
 
     # out-of-scope (mouse) joints must not change position state
-    rows0A = tgather(bs, ia)
-    rows0B = tgather(bs, ib)
+    rows0A, rows0B = gather_rows2(bs, ia, ib)
     outA = pack_rows(vA_r, wA_r, dcA, qA)
     outB = pack_rows(vB_r, wB_r, dcB, qB)
     revn = rev[:, None]
@@ -403,8 +406,9 @@ def xpbd_pass(bs, k, cons: JointCons, inv_h, color, bmap):
     from .common import pack_rows, unpack_rows
 
     ia, ib = cons.ia, cons.ib
-    vA_r, wA_r, dcA, qA = unpack_rows(tgather(bs, ia))
-    vB_r, wB_r, dcB, qB = unpack_rows(tgather(bs, ib))
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA_r, wA_r, dcA, qA = unpack_rows(_ra)
+    vB_r, wB_r, dcB, qB = unpack_rows(_rb)
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
     rev = ~cons.is_mouse & cons.active & ((mA != 0.0) | (mB != 0.0))
@@ -430,8 +434,7 @@ def xpbd_pass(bs, k, cons: JointCons, inv_h, color, bmap):
 
     from .common import gather_apply
 
-    rows0A = tgather(bs, ia)
-    rows0B = tgather(bs, ib)
+    rows0A, rows0B = gather_rows2(bs, ia, ib)
     outA = pack_rows(vA_r, wA_r, dcA, qA)
     outB = pack_rows(vB_r, wB_r, dcB, qB)
     revn = rev[:, None]

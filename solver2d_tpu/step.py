@@ -34,18 +34,37 @@ from .state import Contacts, Diagnostics, State
 
 def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20) -> Contacts:
     """Batched narrowphase over the contact table + warm-start id matching
-    (reference: src/contact.c:296-359)."""
+    (reference: src/contact.c:296-359).
+
+    All per-shape geometry rides ONE packed row-gather per endpoint (and one
+    per endpoint body pose): TPU row-gathers have a large fixed per-row cost,
+    so 12 field gathers become 4 (see CLAUDE.md)."""
     shapes = state.shapes
     bodies = state.bodies
     sa, sb = contacts.shape_a, contacts.shape_b
+    S = shapes.verts.shape[0]
+    C = sa.shape[0]
+
+    geom = jnp.concatenate(
+        [
+            shapes.verts.reshape(S, 16),
+            shapes.normals.reshape(S, 16),
+            broadphase._i2f(shapes.count)[:, None],
+            shapes.radius[:, None],
+        ],
+        axis=-1,
+    )
+    ga, gb = tgather(geom, sa), tgather(geom, sb)
+    pose = jnp.concatenate([bodies.origin, bodies.rot], axis=-1)
+    pa, pb = tgather(pose, contacts.body_a), tgather(pose, contacts.body_b)
 
     out = jax.vmap(partial(manifold.collide, gjk_iters=gjk_iters))(
-        tgather(shapes.verts, sa), tgather(shapes.normals, sa),
-        tgather(shapes.count, sa), tgather(shapes.radius, sa),
-        tgather(shapes.verts, sb), tgather(shapes.normals, sb),
-        tgather(shapes.count, sb), tgather(shapes.radius, sb),
-        tgather(bodies.origin, contacts.body_a), tgather(bodies.rot, contacts.body_a),
-        tgather(bodies.origin, contacts.body_b), tgather(bodies.rot, contacts.body_b),
+        ga[:, 0:16].reshape(C, 8, 2), ga[:, 16:32].reshape(C, 8, 2),
+        broadphase._f2i(ga[:, 32]), ga[:, 33],
+        gb[:, 0:16].reshape(C, 8, 2), gb[:, 16:32].reshape(C, 8, 2),
+        broadphase._f2i(gb[:, 32]), gb[:, 33],
+        pa[:, 0:2], pa[:, 2:4],
+        pb[:, 0:2], pb[:, 2:4],
         contacts.cache_count, contacts.cache_index_a, contacts.cache_index_b,
     )
 
@@ -127,35 +146,57 @@ def step(state: State, dt, config: SimConfig) -> State:
 
     dyn_mask = (bodies.type == 2) & bodies.alive
     touching = contacts.alive & (contacts.point_count > 0)
-    ccolor, c_overflow = coloring.color_graph(
-        contacts.body_a, contacts.body_b, touching, dyn_mask, config.max_bodies, config.max_colors
-    )
-    jcolor, j_overflow = coloring.color_graph(
-        state.joints.body_a, state.joints.body_b, state.joints.alive, dyn_mask,
-        config.max_bodies, config.joint_max_colors,
-    )
+    joints_in = state.joints
+    if config.incremental_coloring:
+        # persistent colors ride the contact table / joint state; only new
+        # constraints pay coloring rounds (ops/coloring.py:assign_colors)
+        ccolor, c_overflow = coloring.assign_colors(
+            contacts.color, contacts.body_a, contacts.body_b, touching, dyn_mask,
+            config.max_bodies, config.max_colors, rounds=config.color_rounds,
+        )
+        contacts = dataclasses.replace(contacts, color=ccolor)
+        jcolor, j_overflow = coloring.assign_colors(
+            joints_in.color, joints_in.body_a, joints_in.body_b, joints_in.alive,
+            dyn_mask, config.max_bodies, config.joint_max_colors,
+            rounds=config.color_rounds,
+        )
+        joints_in = dataclasses.replace(joints_in, color=jcolor)
+        c_active = touching & (ccolor >= 0)
+        j_active = joints_in.alive & (jcolor >= 0)
+    else:
+        ccolor, c_overflow = coloring.color_graph(
+            contacts.body_a, contacts.body_b, touching, dyn_mask, config.max_bodies, config.max_colors
+        )
+        jcolor, j_overflow = coloring.color_graph(
+            joints_in.body_a, joints_in.body_b, joints_in.alive, dyn_mask,
+            config.max_bodies, config.joint_max_colors,
+        )
+        c_active = touching
+        j_active = joints_in.alive
     cmap = make_body_map(
-        contacts.body_a, contacts.body_b, ccolor, touching, dyn_mask,
+        contacts.body_a, contacts.body_b, ccolor, c_active, dyn_mask,
         config.max_bodies, config.max_colors,
     )
     jmap = make_body_map(
-        state.joints.body_a, state.joints.body_b, jcolor, state.joints.alive, dyn_mask,
+        joints_in.body_a, joints_in.body_b, jcolor, j_active, dyn_mask,
         config.max_bodies, config.joint_max_colors,
-        write_a_extra=state.joints.type != 1,  # mouse joints never write body A
+        write_a_extra=joints_in.type != 1,  # mouse joints never write body A
     )
     colors = (ccolor, cmap, jcolor, jmap)
-    c_overflow = c_overflow + (touching & ~cmap.winner).sum()
+    c_overflow = c_overflow + (c_active & ~cmap.winner).sum()
 
     # Stage 3c: solve
     solver_fn = SOLVERS[config.solver]
     new_bodies, contacts, joints = solver_fn(
-        bodies, contacts, state.joints, colors, state.gravity, jnp.float32(dt), config
+        bodies, contacts, joints_in, colors, state.gravity, jnp.float32(dt), config
     )
 
-    # Stage 4: AABB + fat AABB hysteresis update
+    # Stage 4: AABB + fat AABB hysteresis update (one packed pose gather)
+    new_pose = jnp.concatenate([new_bodies.origin, new_bodies.rot], axis=-1)
+    shape_pose = tgather(new_pose, shapes.body)
     aabbs = compute_aabbs(
         shapes.verts, shapes.normals, shapes.count, shapes.radius,
-        tgather(new_bodies.origin, shapes.body), tgather(new_bodies.rot, shapes.body),
+        shape_pose[:, 0:2], shape_pose[:, 2:4],
     )
     aabbs = aabbs + jnp.array([-1.0, -1.0, 1.0, 1.0], jnp.float32) * SPECULATIVE_DISTANCE
     fat = broadphase.update_fat_aabbs(shapes, aabbs, shape_body_type)
