@@ -73,3 +73,56 @@ def test_inside_scan():
 
     _, ys = jax.lax.scan(body, 0, None, length=3)
     np.testing.assert_array_equal(ys[0], jax.vmap(_ref)(t, i))
+
+
+# ------------------------------------------------------------- flat scatters
+
+from solver2d_tpu.ops.gather import tscatter_add, tscatter_max
+
+
+def _ref_add(t, i, v):
+    return t.at[i].add(v)
+
+
+def _ref_max(t, i, v):
+    return t.at[i].max(v)
+
+
+def test_tscatter_add_matches_at_add():
+    k = jax.random.PRNGKey(5)
+    t = jax.random.normal(k, (9, 4))
+    i = jax.random.randint(jax.random.fold_in(k, 1), (14,), 0, 9)
+    v = jax.random.normal(jax.random.fold_in(k, 2), (14, 4))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(tscatter_add)(t, i, v)), np.asarray(_ref_add(t, i, v)), rtol=1e-6
+    )
+
+
+def test_tscatter_add_vmap():
+    k = jax.random.PRNGKey(6)
+    t = jax.random.normal(k, (3, 9, 4))
+    i = jax.random.randint(jax.random.fold_in(k, 1), (3, 14), 0, 9)
+    v = jax.random.normal(jax.random.fold_in(k, 2), (3, 14, 4))
+    got = jax.jit(jax.vmap(tscatter_add))(t, i, v)
+    want = jax.vmap(_ref_add)(t, i, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_tscatter_max_vmap_unbatched_target():
+    k = jax.random.PRNGKey(7)
+    t = jnp.full((9,), -1, jnp.int32)
+    i = jax.random.randint(k, (3, 14), 0, 9)
+    v = jax.random.randint(jax.random.fold_in(k, 1), (3, 14), 0, 100, jnp.int32)
+    got = jax.jit(jax.vmap(lambda ii, vv: tscatter_max(t, ii, vv)))(i, v)
+    want = jax.vmap(lambda ii, vv: _ref_max(t, ii, vv))(i, v)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tscatter_nested_vmap():
+    k = jax.random.PRNGKey(8)
+    t = jax.random.normal(k, (2, 3, 9))
+    i = jax.random.randint(jax.random.fold_in(k, 1), (2, 3, 14), 0, 9)
+    v = jax.random.normal(jax.random.fold_in(k, 2), (2, 3, 14))
+    got = jax.jit(jax.vmap(jax.vmap(tscatter_add)))(t, i, v)
+    want = jax.vmap(jax.vmap(_ref_add))(t, i, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
