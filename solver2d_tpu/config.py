@@ -122,6 +122,16 @@ class SimConfig:
     max_colors: int = 16
     joint_max_colors: int = 8
 
+    # Persistent incremental coloring (ops/coloring.py:assign_colors): colors
+    # ride the contact/joint state across steps; only new constraints pay
+    # `color_rounds` first-fit rounds. Steady-state coloring cost is one
+    # validation pass instead of (max_colors-1) x 4 MIS rounds over a dense
+    # [B, N] incidence matrix. Constraints still uncolored after the rounds
+    # are skipped for one step (counted in diag.color_overflow) and retry next
+    # step. Requires max_colors <= 30. Off = the original per-step MIS.
+    incremental_coloring: bool = True
+    color_rounds: int = 8
+
     def substepping(self) -> bool:
         return self.solver in SUBSTEPPING_SOLVERS
 

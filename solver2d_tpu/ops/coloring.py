@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .gather import tgather
+from .gather import tgather, tscatter_add, tscatter_max
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -103,6 +103,78 @@ def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_color
     return color, overflow
 
 
+def assign_colors(carried, body_a, body_b, active, dynamic_mask, num_bodies: int,
+                  max_colors: int, rounds: int = 8):
+    """Persistent incremental coloring: validate colors carried from the
+    previous step, then color the (few) new constraints with Jones-Plassmann
+    first-fit rounds using hashed-priority conflict resolution.
+
+    The key economics: constraints persist across steps (the contact table is
+    persistent, joints are long-lived), so in steady state every carried color
+    is already a valid proper coloring and the validation pass is the whole
+    cost — no MIS iteration over a [B, N] incidence matrix. Only newly created
+    constraints (carried == -1) run the proposal rounds. Chain pathologies are
+    avoided the same way as `color_graph` (hashed priorities), and stragglers
+    that stay uncolored after `rounds` simply retry next step (skipped and
+    counted in diagnostics for the one step).
+
+    The validation pass also self-heals: if an external edit (checkpoint
+    surgery, body re-typing via utils/runtime) breaks the disjointness
+    invariant, the losing constraint drops to -1 and recolors.
+
+    carried: i32 [N] previous color or -1; returns (color i32 [N] with -1 for
+    uncolored, overflow i32 count). Requires max_colors <= 30 (bitmask)."""
+    assert max_colors <= 30, "assign_colors packs colors into an i32 bitmask"
+    N = body_a.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    pri = _hash_priority(idx)
+
+    dyn_a = tgather(dynamic_mask, body_a)
+    dyn_b = tgather(dynamic_mask, body_b)
+    slot_a = jnp.where(dyn_a, body_a, num_bodies)
+    slot_b = jnp.where(dyn_b, body_b, num_bodies)
+
+    color = jnp.where(active, carried, -1)
+    full_mask = jnp.int32((1 << max_colors) - 1)
+    tbl_size = (num_bodies + 1) * max_colors
+
+    slots_ab = jnp.concatenate([slot_a, slot_b])
+
+    def validate(color):
+        """Drop to -1 any colored constraint that doesn't own its (body,
+        color) cell at both dynamic endpoints (priority-max wins). One
+        concatenated scatter + one concatenated gather."""
+        colored = active & (color >= 0)
+        c = jnp.maximum(color, 0)
+        claim = jnp.where(colored, pri, -1)
+        tbl = jnp.full((tbl_size + 1,), -1, jnp.int32)
+        cells = jnp.where(jnp.concatenate([colored, colored]), slots_ab * max_colors + jnp.concatenate([c, c]), tbl_size)
+        tbl = tscatter_max(tbl, cells, jnp.concatenate([claim, claim]))
+        got = tgather(tbl, cells)
+        own = (~dyn_a | (got[:N] == pri)) & (~dyn_b | (got[N:] == pri))
+        return jnp.where(colored & ~own, -1, color), colored & own
+
+    for _r in range(rounds):
+        color, ok = validate(color)
+        # used-color bitmask per body; surviving colors are distinct per body
+        # (validate guarantees it), so scatter-add == bitwise OR
+        bit = jnp.where(ok, jnp.int32(1) << jnp.maximum(color, 0), 0)
+        used = jnp.zeros((num_bodies + 1,), jnp.int32)
+        ok2 = jnp.concatenate([ok, ok])
+        used = tscatter_add(used, jnp.where(ok2, slots_ab, num_bodies), jnp.concatenate([bit, bit]))
+        rows = tgather(used, slots_ab)
+        free = ~(jnp.where(dyn_a, rows[:N], 0) | jnp.where(dyn_b, rows[N:], 0)) & full_mask
+        lowbit = free & -free
+        # log2 of a power of two <= 2^30 is exact in f32
+        newc = jnp.log2(jnp.maximum(lowbit, 1).astype(jnp.float32)).astype(jnp.int32)
+        propose = active & (color < 0) & (free != 0)
+        color = jnp.where(propose, newc, color)
+
+    color, _ = validate(color)
+    overflow = (active & (color < 0)).sum()
+    return color, overflow
+
+
 def build_body_map(body_a, body_b, color, active, write_a, write_b, num_bodies: int, max_colors: int):
     """Per-body constraint lookup table: slot[b, k] = index of the (single)
     color-k constraint that writes body b, or -1.
@@ -117,12 +189,17 @@ def build_body_map(body_a, body_b, color, active, write_a, write_b, num_bodies: 
     last-writer-wins, so callers apply that bucket with the scatter path.
 
     write_a/write_b: bool [N], whether the constraint writes that endpoint
-    (dynamic body; mouse joints never write body A)."""
+    (dynamic body; mouse joints never write body A).
+
+    One flat max-scatter (tscatter semantics clamp rather than drop, so dead
+    lanes route to an explicit sink cell; conflicting writers resolve to the
+    max index, and `make_body_map` derives the winner from the same table)."""
     N = body_a.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
-    slot = jnp.full((num_bodies + 1, max_colors), -1, jnp.int32)
-    ra = jnp.where(write_a & active, body_a, num_bodies)
-    rb = jnp.where(write_b & active, body_b, num_bodies)
-    slot = slot.at[rb, color].set(idx)
-    slot = slot.at[ra, color].set(idx)
-    return slot[:num_bodies]
+    c = jnp.clip(color, 0, max_colors - 1)
+    sink = num_bodies * max_colors
+    cell_a = jnp.where(write_a & active, body_a * max_colors + c, sink)
+    cell_b = jnp.where(write_b & active, body_b * max_colors + c, sink)
+    slot = jnp.full((num_bodies * max_colors + 1,), -1, jnp.int32)
+    slot = tscatter_max(slot, jnp.concatenate([cell_a, cell_b]), jnp.concatenate([idx, idx]))
+    return slot[: num_bodies * max_colors].reshape(num_bodies, max_colors)

@@ -112,6 +112,7 @@ def attach_mouse_joint(state: State, slot: int, body: int, target, hertz: float 
         damping_ratio=upd(j.damping_ratio, damping_ratio),
         impulse=j.impulse.at[slot].set(0.0),
         motor_impulse=upd(j.motor_impulse, 0.0),
+        color=upd(j.color, -1),
         alive=upd(j.alive, True),
     )
     return dataclasses.replace(state, joints=joints)

@@ -163,6 +163,7 @@ class Contacts:
     cache_count: jnp.ndarray   # i32 [C]
     cache_index_a: jnp.ndarray # i32 [C,3]
     cache_index_b: jnp.ndarray # i32 [C,3]
+    color: jnp.ndarray         # i32 [C] persistent constraint color (-1 = unassigned)
     alive: jnp.ndarray         # bool [C]
 
     @staticmethod
@@ -180,6 +181,7 @@ class Contacts:
             friction_anchor_a=f(n, 2, 2), friction_anchor_b=f(n, 2, 2),
             friction_persisted=jnp.zeros((n,), bool),
             cache_count=i(n), cache_index_a=i(n, 3), cache_index_b=i(n, 3),
+            color=jnp.full((n,), -1, jnp.int32),
             alive=jnp.zeros((n,), bool),
         )
 
@@ -214,6 +216,7 @@ class Joints:
     motor_impulse: jnp.ndarray   # f32 [J]
     lower_impulse: jnp.ndarray   # f32 [J]
     upper_impulse: jnp.ndarray   # f32 [J]
+    color: jnp.ndarray           # i32 [J] persistent constraint color (-1 = unassigned)
     alive: jnp.ndarray           # bool [J]
 
     @staticmethod
@@ -229,6 +232,7 @@ class Joints:
             motor_speed=f(n), max_motor_torque=f(n),
             target=f(n, 2), hertz=f(n), damping_ratio=f(n),
             impulse=f(n, 2), motor_impulse=f(n), lower_impulse=f(n), upper_impulse=f(n),
+            color=jnp.full((n,), -1, jnp.int32),
             alive=jnp.zeros((n,), bool),
         )
 

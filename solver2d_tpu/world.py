@@ -356,6 +356,15 @@ class World:
             assert config.max_bodies * config.max_contacts <= (1 << 20), (
                 "use_pallas_solver: incidence matrices exceed VMEM; reduce capacities"
             )
+            from .config import SolverType as _ST
+
+            assert config.solver in (_ST.TGS_SOFT, _ST.SOFT_STEP, _ST.PGS_SOFT), (
+                "use_pallas_solver covers TGS_SOFT / SOFT_STEP / PGS_SOFT"
+            )
+        # pair keys pack as shape_a * max_shapes + shape_b in int32
+        assert config.max_shapes * config.max_shapes < (1 << 31), (
+            "max_shapes too large for int32 pair keys"
+        )
 
         state = State.zeros(config)
         nb, ns, nj = len(self.bodies), len(self.shapes), len(self.joints)
@@ -528,5 +537,6 @@ def _soa_zeros_joints(n):
         "motor_impulse": np.zeros((n,), np.float32),
         "lower_impulse": np.zeros((n,), np.float32),
         "upper_impulse": np.zeros((n,), np.float32),
+        "color": np.full((n,), -1, np.int32),
         "alive": np.zeros((n,), bool),
     }
