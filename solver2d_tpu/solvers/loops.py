@@ -210,6 +210,9 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
 
 def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_pgs_soft.c:127-242."""
+    if cfg.use_pallas_solver:
+        return _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg,
+                             mode=ck.PGS_SOFT, loop="pgs", fixed_warm=False, hertz_factor=0.333)
     h = dt
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.333 * inv_h)
@@ -314,29 +317,44 @@ def solve_tgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg):
     return _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, ck.TGS_SOFT, 0.125, fixed_warm=False)
 
 
-def _solve_tgs_soft_pallas(bodies, contacts, joints, colors, gravity, dt, cfg):
+def _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg, *,
+                  mode, loop, fixed_warm, hertz_factor):
     """Fused VMEM path (solvers/pallas_solver.py): contacts only — scenes with
     joints must use the XLA path (enforced at freeze)."""
     import jax as _jax
 
-    from .pallas_solver import tgs_soft_contact_solve
+    from .pallas_solver import contact_solve
 
-    h = dt / cfg.iterations
-    inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
-    contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.25 * inv_h)
+    if loop == "substep":
+        h = dt / cfg.iterations
+        inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
+    else:
+        h = dt
+        inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
+    contact_hertz = jnp.minimum(CONTACT_HERTZ, hertz_factor * inv_h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
     bs0 = _init(bodies)
     ccolor, cmap = colors[0], colors[1]
     interpret = _jax.default_backend() not in ("tpu", "axon")
-    bs, n, t = tgs_soft_contact_solve(
-        bodies, bs0, n, t, cons, gravity, ccolor, cmap, h, inv_h, cfg, interpret=interpret
+    bs, n, t = contact_solve(
+        bodies, bs0, n, t, cons, gravity, ccolor, cmap, h, inv_h, cfg,
+        interpret=interpret, mode=mode, loop=loop, fixed_warm=fixed_warm,
+        relax_iters=cfg.extra_iterations,
     )
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
     return _finish(bodies, contacts, joints, cons, jcons, (bs, n, t, jimp))
 
 
+def _solve_tgs_soft_pallas(bodies, contacts, joints, colors, gravity, dt, cfg):
+    return _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg,
+                         mode=ck.TGS_SOFT, loop="substep", fixed_warm=False, hertz_factor=0.25)
+
+
 def solve_soft_step(bodies, contacts, joints, colors, gravity, dt, cfg):
     """reference: src/solve_soft_step.c:182-311 (TGS_Soft with fixed anchors)."""
+    if cfg.use_pallas_solver:
+        return _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg,
+                             mode=ck.SOFT_STEP, loop="substep", fixed_warm=True, hertz_factor=0.25)
     return _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, ck.SOFT_STEP, 0.25, fixed_warm=True)
 
 

@@ -67,6 +67,7 @@ def _kernel(
     oa_ref, ob_ref,    # [C, B] one-hot f32
     oat_ref, obt_ref,  # [B, C]
     *, B, C, n_colors, substeps, relax, warm_start, mode,
+    loop="substep", relax_iters=0, fixed_warm=False,
 ):
     h = h_ref[0, 0]
     inv_h = inv_h_ref[0, 0]
@@ -142,13 +143,15 @@ def _kernel(
         return jax.lax.fori_loop(0, n_colors, body, (bs, n_imp, t_imp))
 
     def warm(bs, n_imp, t_imp):
-        # current rotated anchors (TGS_Soft, solve_common.c:276-326);
+        # current rotated anchors (TGS_Soft, solve_common.c:276-326) or the
+        # fixed prepare-time anchors (SoftStep, solve_soft_step.c:16-63);
         # per-point loop keeps everything rank-2 for Mosaic
         from ..ops import math2d as m
 
-        rows_a, rows_b = gather_rows(bs)
-        _, _, _, qA = unpack_rows(rows_a)
-        _, _, _, qB = unpack_rows(rows_b)
+        if not fixed_warm:
+            rows_a, rows_b = gather_rows(bs)
+            _, _, _, qA = unpack_rows(rows_a)
+            _, _, _, qB = unpack_rows(rows_b)
         tangent = m.right_perp(cons.normal)
         P_tot = jnp.zeros((C, 2), jnp.float32)
         tq_a = jnp.zeros((C,), jnp.float32)
@@ -156,8 +159,11 @@ def _kernel(
         for j in range(2):
             maskp = pmask_ref[:, j] * active_ref[:, 0]
             Pj = (n_imp[:, j] * maskp)[:, None] * cons.normal + (t_imp[:, j] * maskp)[:, None] * tangent
-            rAj = m.rotate(qA, cons.local_anchor_a[j])
-            rBj = m.rotate(qB, cons.local_anchor_b[j])
+            if fixed_warm:
+                rAj, rBj = cons.r_a0[j], cons.r_b0[j]
+            else:
+                rAj = m.rotate(qA, cons.local_anchor_a[j])
+                rBj = m.rotate(qB, cons.local_anchor_b[j])
             P_tot = P_tot + Pj
             tq_a = tq_a + m.cross(rAj, Pj)
             tq_b = tq_b + m.cross(rBj, Pj)
@@ -190,21 +196,45 @@ def _kernel(
         rot = rot + mv * (rot2 - rot)
         return jnp.concatenate([v, w, dp, rot, bs[:, 7:8]], axis=-1)
 
-    def substep(_, carry):
-        bs, n_imp, t_imp = carry
-        bs = integrate_velocities(bs)
-        if warm_start:
-            bs = warm(bs, n_imp, t_imp)
-        bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, True)
-        bs = integrate_positions(bs)
-        if relax:
-            bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, False)
-        return (bs, n_imp, t_imp)
-
     bs0 = bs_ref[:, :]
     n0 = n_imp0_ref[:, :]
     t0 = t_imp0_ref[:, :]
-    bs, n_imp, t_imp = jax.lax.fori_loop(0, substeps, substep, (bs0, n0, t0))
+
+    if loop == "substep":
+        # TGS_Soft / SoftStep substep loop (solve_tgs_soft.c:208-269)
+        def substep(_, carry):
+            bs, n_imp, t_imp = carry
+            bs = integrate_velocities(bs)
+            if warm_start:
+                bs = warm(bs, n_imp, t_imp)
+            bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, True)
+            bs = integrate_positions(bs)
+            if relax:
+                bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, False)
+            return (bs, n_imp, t_imp)
+
+        bs, n_imp, t_imp = jax.lax.fori_loop(0, substeps, substep, (bs0, n0, t0))
+    else:
+        # PGS_Soft single-step loop (solve_pgs_soft.c:127-242): integrate and
+        # warm start once, `substeps` biased velocity iterations, one position
+        # integrate, `relax_iters` relax iterations
+        bs = integrate_velocities(bs0)
+        if warm_start:
+            bs = warm(bs, n0, t0)
+
+        def vel_iter(_, carry):
+            bs, n_imp, t_imp = carry
+            return contact_color_loop(bs, n_imp, t_imp, True)
+
+        bs, n_imp, t_imp = jax.lax.fori_loop(0, substeps, vel_iter, (bs, n0, t0))
+        bs = integrate_positions(bs)
+
+        def relax_iter(_, carry):
+            bs, n_imp, t_imp = carry
+            return contact_color_loop(bs, n_imp, t_imp, False)
+
+        bs, n_imp, t_imp = jax.lax.fori_loop(0, relax_iters, relax_iter, (bs, n_imp, t_imp))
+
     bs_out_ref[:, :] = bs
     n_out_ref[:, :] = n_imp
     t_out_ref[:, :] = t_imp
@@ -228,12 +258,16 @@ def pack_cons_fields(cons: ContactCons):
     return jnp.concatenate(cols, axis=-1)
 
 
-def tgs_soft_contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
-                           ccolor, cmap, h, inv_h, cfg: SimConfig, interpret=False):
-    """Run the fused substep loop for one world. Returns (bs, n_imp, t_imp)."""
+def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
+                  ccolor, cmap, h, inv_h, cfg: SimConfig, interpret=False,
+                  mode=ck.TGS_SOFT, loop="substep", fixed_warm=False, relax_iters=0):
+    """Run a fused solver loop for one world. Returns (bs, n_imp, t_imp).
+
+    loop='substep' reproduces TGS_Soft (mode=TGS_SOFT, rotating warm anchors)
+    and SoftStep (mode=SOFT_STEP, fixed_warm=True); loop='pgs' reproduces
+    PGS_Soft (mode=PGS_SOFT): vel iterations + relax_iters relax passes."""
     B = cfg.max_bodies
     C = cfg.max_contacts
-    mode = ck.TGS_SOFT
 
     dyn = ((bodies.type == 2) & bodies.alive).astype(jnp.float32)[:, None]
     move = ((bodies.type != 0) & bodies.alive).astype(jnp.float32)[:, None]
@@ -245,6 +279,7 @@ def tgs_soft_contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravi
     kernel = partial(
         _kernel, B=B, C=C, n_colors=cfg.max_colors, substeps=cfg.iterations,
         relax=cfg.extra_iterations > 0, warm_start=cfg.warm_start, mode=mode,
+        loop=loop, relax_iters=relax_iters, fixed_warm=fixed_warm,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -280,3 +315,8 @@ def tgs_soft_contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravi
         n_imp0, t_imp0,
     )
     return out
+
+
+def tgs_soft_contact_solve(*args, **kwargs):
+    """Back-compat alias: the TGS_Soft configuration of `contact_solve`."""
+    return contact_solve(*args, **kwargs, mode=ck.TGS_SOFT, loop="substep")

@@ -83,11 +83,13 @@ def test_kernel_matches_xla_solver(settled):
     )
 
 
-def test_step_with_pallas_flag():
-    """Full step() with use_pallas_solver must track the XLA step."""
-    w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=4)
+@pytest.mark.parametrize("solver", [SolverType.TGS_SOFT, SolverType.SOFT_STEP, SolverType.PGS_SOFT])
+def test_step_with_pallas_flag(solver):
+    """Full step() with use_pallas_solver must track the XLA step for every
+    solver the fused kernel covers."""
+    w, ids = pyramid_world(solver, base_count=4)
     state_x, cfg_x = w.freeze(max_colors=8)
-    w2, _ = pyramid_world(SolverType.TGS_SOFT, base_count=4)
+    w2, _ = pyramid_world(solver, base_count=4)
     state_p, cfg_p = w2.freeze(max_colors=8, use_pallas_solver=True)
 
     fx = jax.jit(lambda s: step_fn(s, 1.0 / 60.0, cfg_x))
