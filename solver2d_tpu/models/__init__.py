@@ -53,7 +53,14 @@ def scene_names():
 
 
 def build(category: str, name: str, solver: SolverType = SolverType.PGS_NGS_BLOCK) -> Scene:
-    return SCENES[(category, name)](solver)
+    try:
+        factory = SCENES[(category, name)]
+    except KeyError:
+        known = ", ".join(f"{c}/{n}" for c, n in scene_names())
+        raise SystemExit(
+            f"unknown scene '{category}/{name}'. Known scenes: {known}"
+        ) from None
+    return factory(solver)
 
 
 from . import contact_scenes  # noqa: E402,F401
