@@ -33,9 +33,12 @@ def main():
     w, ids = pyramid_world(solver, base_count=base)
     n_bodies = len(ids) + 1
     # pyramid contact count ~= 3 per box; modest headroom
+    # max_colors: persistent first-fit coloring keeps the pyramid within ~9
+    # colors (measured overflow 0 at 10); 12 adds safety margin and each
+    # trailing color pass costs two row-gathers per solve iteration
     state, cfg = w.freeze(
         max_contacts=((4 * len(ids) + 127) // 128) * 128,
-        max_colors=16,
+        max_colors=int(os.environ.get("S2_BENCH_COLORS", "12")),
         gjk_iters=10,
     )
 

@@ -112,7 +112,8 @@ class SimConfig:
 
     # Fused Pallas solver: run the entire TGS_Soft substep loop in one VMEM-
     # resident TPU kernel (solvers/pallas_solver.py). Only valid for scenes
-    # without joints; VMEM bounds max_bodies*max_contacts at ~1M.
+    # without joints; scoped VMEM bounds max_bodies*max_contacts at ~131K
+    # (measured on v5e: ~117 bytes/element against the 16 MB scoped limit).
     use_pallas_solver: bool = False
 
     # Graph coloring: number of independent constraint batches for the

@@ -19,8 +19,9 @@ stage:
 Per-contact math reuses `contact_kernels.solve_contact_core` — the exact same
 jnp code as the XLA path, so physics cannot diverge between backends.
 
-Feasible sizes: the incidence matrices are [C, B] f32 x2, so VMEM (~16MB)
-bounds B*C at roughly 1M (e.g. 512 bodies x 2048 contacts) — the many-small-
+Feasible sizes: the incidence matrices are [C, B] f32 x2, so scoped VMEM (16MB)
+bounds B*C at ~131K elements (~117 B/element measured on v5e incl. per-color
+one-hot temporaries; e.g. 128 bodies x 1024 contacts) — the many-small-
 worlds RL-datagen regime. Enable with SimConfig(use_pallas_solver=True)
 (contacts only; worlds with live joints fall back to the XLA path).
 """

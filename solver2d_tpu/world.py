@@ -353,7 +353,11 @@ class World:
             self._batch_compute_mass()
         if config.use_pallas_solver:
             assert not self.joints, "use_pallas_solver supports contact-only scenes"
-            assert config.max_bodies * config.max_contacts <= (1 << 20), (
+            # measured on v5e: scoped VMEM (16 MB) fits ~117 bytes per
+            # max_bodies*max_contacts element (4 incidence matrices + per-color
+            # one-hot temporaries); 216x896 = 193K elements needs 22.5 MB and
+            # fails to compile
+            assert config.max_bodies * config.max_contacts <= (1 << 17), (
                 "use_pallas_solver: incidence matrices exceed VMEM; reduce capacities"
             )
             from .config import SolverType as _ST
