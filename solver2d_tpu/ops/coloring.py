@@ -35,8 +35,12 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _hash_priority(idx):
-    """Unique deterministic pseudo-random priority per index (Knuth)."""
-    h = (idx * jnp.int32(-1640531527)) ^ (idx >> 7)  # 2654435761 wrapped
+    """INJECTIVE deterministic pseudo-random priority per index: a Knuth
+    multiplicative hash reduced mod 2^31. Odd multipliers are invertible mod
+    any power of two, so distinct indices always get distinct priorities —
+    a priority collision between two constraints sharing a body would let
+    both claim the same (body, color) cell forever (sticky constraint drop)."""
+    h = idx * jnp.int32(-1640531527)  # 2654435761 wrapped
     return jnp.bitwise_and(h, jnp.int32(0x7FFFFFFF))
 
 
@@ -134,7 +138,11 @@ def assign_colors(carried, body_a, body_b, active, dynamic_mask, num_bodies: int
     slot_a = jnp.where(dyn_a, body_a, num_bodies)
     slot_b = jnp.where(dyn_b, body_b, num_bodies)
 
-    color = jnp.where(active, carried, -1)
+    # Out-of-range carried colors (checkpoint saved under a larger
+    # max_colors, external state surgery) must drop to -1 and recolor:
+    # otherwise body*max_colors + c aliases another body's cell and
+    # 1 << color is undefined for color >= 31.
+    color = jnp.where(active & (carried >= 0) & (carried < max_colors), carried, -1)
     full_mask = jnp.int32((1 << max_colors) - 1)
     tbl_size = (num_bodies + 1) * max_colors
 

@@ -4,6 +4,9 @@ import numpy as np
 
 from solver2d_tpu.ops.coloring import assign_colors, color_graph
 from solver2d_tpu.utils.checks import check_color_disjointness
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def run(body_a, body_b, n_bodies, max_colors=16, dynamic=None, active=None):
@@ -144,3 +147,30 @@ def test_assign_respects_max_colors():
     _check_proper(body_a, body_b, color, np.ones(n + 1, bool))
     assert (color < 8).all()
     assert overflow == n - 8  # 8 colorable, rest retry next step
+
+
+def test_assign_clamps_out_of_range_carried():
+    """Carried colors >= max_colors (e.g. a checkpoint saved under a larger
+    max_colors) must drop to -1 and recolor — not alias another body's
+    validation cell or feed 1 << color with color >= 31 (ADVICE r1)."""
+    n = 20
+    body_a = np.arange(n)
+    body_b = np.arange(n) + 1
+    carried = np.full(n, -1)
+    carried[::2] = 29          # valid under max_colors=30, invalid under 8
+    carried[1::2] = 64         # way out of range (1 << 64 is UB in int32)
+    color, overflow = run_assign(carried, body_a, body_b, n + 1, max_colors=8)
+    _check_proper(body_a, body_b, color, np.ones(n + 1, bool))
+    assert overflow == 0
+    assert (color >= 0).all() and (color < 8).all()
+
+
+def test_hash_priority_injective():
+    """Priorities must be unique: a collision between two constraints sharing
+    a body lets both own a (body,color) cell forever (ADVICE r1)."""
+    from solver2d_tpu.ops.coloring import _hash_priority
+
+    idx = jnp.arange(1 << 18, dtype=jnp.int32)
+    pri = np.asarray(_hash_priority(idx))
+    assert pri.min() >= 0
+    assert len(np.unique(pri)) == len(pri)
