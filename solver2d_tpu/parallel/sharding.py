@@ -40,17 +40,21 @@ def shard_state(batch: State, mesh: Mesh, axis: str = "worlds") -> State:
 
 
 def sharded_step(config: SimConfig, mesh: Mesh, axis: str = "worlds"):
-    """Jitted batched step with explicit in/out shardings on the worlds axis.
+    """Jitted batched step with explicit in/out shardings on the worlds axis,
+    so even an *uncommitted* batch is distributed across the mesh rather than
+    silently computed on one device. dt is replicated.
 
     With worlds fully data-parallel the compiled program contains zero
     inter-chip collectives — each chip steps its shard independently."""
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(axis))      # prefix: shards dim 0 of every leaf
+    replicated = NamedSharding(mesh, P())
     vstep = jax.vmap(partial(step, config=config), in_axes=(0, None))
-
-    def shardings_like(tree):
-        return jax.tree.map(lambda _: sharding, tree)
-
-    return jax.jit(vstep, donate_argnums=(0,))
+    return jax.jit(
+        vstep,
+        in_shardings=(sharding, replicated),
+        out_shardings=sharding,
+        donate_argnums=(0,),
+    )
 
 
 def metrics_psum_example(batch: State, mesh: Mesh, axis: str = "worlds"):

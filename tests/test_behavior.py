@@ -236,3 +236,25 @@ def test_sharded_batch_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out.bodies.position), np.asarray(plain.bodies.position), atol=1e-6
     )
+
+
+def test_sharded_step_distributes_uncommitted_batch():
+    """sharded_step declares in_shardings, so even a batch that was never
+    device_put must come back sharded across the mesh (VERDICT r1 weak #3)."""
+    from solver2d_tpu.parallel import make_mesh, replicate_state, sharded_step
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    w = World(solver=SolverType.TGS_SOFT)
+    g = w.create_body(type=BodyType.STATIC, position=(0, -1))
+    w.create_polygon_shape(g, geometry.box(10, 1))
+    b = w.create_body(type=BodyType.DYNAMIC, position=(0.1, 1.0))
+    w.create_polygon_shape(b, geometry.box(0.5, 0.5))
+    state, cfg = w.freeze(max_colors=4)
+
+    mesh = make_mesh(jax.devices()[:8])
+    batch = replicate_state(state, 16)   # NOT shard_state'd / uncommitted
+    out = sharded_step(cfg, mesh)(batch, jnp.float32(1 / 60))
+    shard_devices = {s.device for s in out.bodies.position.addressable_shards}
+    assert len(shard_devices) == 8, f"output on {len(shard_devices)} devices"
