@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AABB_MARGIN, SPECULATIVE_DISTANCE, SimConfig
-from .gather import tgather, tscatter_max
+from .gather import tgather, tscatter_add, tscatter_max
 from ..state import Contacts, Shapes
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
@@ -129,16 +129,34 @@ def find_pairs(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray
     # appears once in the window scheme)
     C = config.max_contacts
     flat_key = pair_key.reshape(-1)
-    count = (flat_key != INT32_MAX).sum()
-
-    top_key, _ = jax.lax.top_k(-flat_key, C)
-    top_key = -top_key
+    top_key, count = _compact_keys(flat_key, C)
     filled = top_key != INT32_MAX
     sa = jnp.where(filled, top_key // S, 0)
     sb = jnp.where(filled, top_key % S, 0)
 
     overflow = window_overflow | (count > C)
     return PairResult(sa, sb, top_key, filled, count, overflow)
+
+
+def _compact_keys(flat_key: jnp.ndarray, C: int):
+    """Compact the valid (!= INT32_MAX) entries of a large candidate-key array
+    into C ascending-sorted slots (INT32_MAX padded). Returns (keys[C], count).
+
+    cumsum positions + ONE flat scatter + a sort of just [C] — vs the old
+    `top_k` over the full [S*(9M+G)] array, which lowers to a full sort per
+    step and dominated broadphase time. On overflow (count > C) the first C
+    candidates in flat order survive (the old code kept the C smallest keys;
+    either way pairs drop and diag.pair_overflow is raised)."""
+    vmask = flat_key != INT32_MAX
+    count = vmask.sum()
+    posn = jnp.cumsum(vmask) - 1
+    cells = jnp.where(vmask & (posn < C), posn, C)
+    tbl = jnp.zeros((C + 1,), jnp.int32)
+    # positions are unique and dense, so scatter-add writes each slot once;
+    # valid keys are >= 1 (a < b), so 0 marks "unwritten"
+    tbl = tscatter_add(tbl, cells, jnp.where(vmask, flat_key, 0))
+    keys = jnp.where(jnp.arange(C) < jnp.minimum(count, C), tbl[:C], INT32_MAX)
+    return jnp.sort(keys), count
 
 
 def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type: jnp.ndarray, body_of) -> Contacts:
@@ -370,25 +388,26 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     # per-shape candidate lists from the 3x3 neighborhood; all nine
     # rank-position lookups fold into ONE row-gather at the end
     neighbor_offsets = [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
-    pos_list = []
-    cand_valid = []
     overflow = jnp.zeros((), bool)
     lanes = jnp.arange(M)
-    for dx, dy in neighbor_offsets:
-        nh = _cell_hash(cx + dx, cy + dy)
-        # compare-count searchsorted ([S,S] is small; scan-mode binary search
-        # is gather-bound under vmap)
-        lo = (sorted_hash[None, :] < nh[:, None]).sum(1)
-        hi = (sorted_hash[None, :] <= nh[:, None]).sum(1)
-        count = hi - lo
-        overflow = overflow | jnp.any(small & (count > M))
-        pos = jnp.minimum(lo[:, None] + lanes[None, :], S - 1)   # [S,M]
-        valid = (lanes[None, :] < count[:, None]) & small[:, None]
-        pos_list.append(pos)
-        cand_valid.append(valid)
+    nh_all = jnp.stack([_cell_hash(cx + dx, cy + dy) for dx, dy in neighbor_offsets])  # [9,S]
+    if S <= 1024:
+        # compare-count searchsorted: [9,S,S] elementwise is cheap at small S
+        # (scan-mode binary search is gather-bound under vmap)
+        lo = (sorted_hash[None, None, :] < nh_all[:, :, None]).sum(-1)   # [9,S]
+        hi = (sorted_hash[None, None, :] <= nh_all[:, :, None]).sum(-1)
+    else:
+        # flagship scenes (Pyramid-100: S ~ 5k): [9,S,S] compare-counts are
+        # O(S^2) each; two sorted-searches over [9S] replace them
+        lo = jnp.searchsorted(sorted_hash, nh_all.reshape(-1), side="left", method="sort").reshape(9, S)
+        hi = jnp.searchsorted(sorted_hash, nh_all.reshape(-1), side="right", method="sort").reshape(9, S)
+    counts = hi - lo                                                     # [9,S]
+    overflow = overflow | jnp.any(small[None, :] & (counts > M))
+    pos = jnp.minimum(lo[:, :, None] + lanes[None, None, :], S - 1)      # [9,S,M]
+    cand_valid = (lanes[None, None, :] < counts[:, :, None]) & small[None, :, None]
 
-    grid_cand = tgather(order, jnp.concatenate(pos_list, axis=1))  # [S, 9M]
-    grid_valid = jnp.concatenate(cand_valid, axis=1)
+    grid_cand = tgather(order, pos.transpose(1, 0, 2).reshape(S, 9 * M))  # [S, 9M]
+    grid_valid = cand_valid.transpose(1, 0, 2).reshape(S, 9 * M)
 
     # big-shape candidates: indices of big shapes, padded. One flat
     # max-scatter with non-big shapes routed to a sink slot (the old .set
@@ -435,14 +454,13 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
 
     C = config.max_contacts
     flat_key = pair_key.reshape(-1)
-    count = (flat_key != INT32_MAX).sum()
-
-    top_key, _ = jax.lax.top_k(-flat_key, C)
-    top_key = -top_key
+    top_key, count = _compact_keys(flat_key, C)
     # drop duplicates (possible only under a 3x3-neighbor hash collision):
-    # keys are ascending after top_k, so duplicates are adjacent
+    # keys are ascending after compaction, so duplicates are adjacent. Re-sort
+    # after dropping so the table stays ascending — next step's match_contacts
+    # searchsorted requires it (a [C] sort is cheap).
     dup = jnp.concatenate([jnp.zeros((1,), bool), top_key[1:] == top_key[:-1]])
-    top_key = jnp.where(dup, INT32_MAX, top_key)
+    top_key = jnp.sort(jnp.where(dup, INT32_MAX, top_key))
     # shape indices decode from the key (S^2 < 2^31 is checked at freeze)
     filled = top_key != INT32_MAX
     sa = jnp.where(filled, top_key // S, 0)
