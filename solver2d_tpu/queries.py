@@ -49,23 +49,57 @@ def test_point(state: State, point) -> jnp.ndarray:
     return inside & shapes.alive
 
 
-def raycast_world(state: State, p1, p2) -> RayHit:
-    """Nearest hit against all live shapes."""
+def _ray_aabb_enter(fat, p1, p2):
+    """Slab test of segment p1->p2 vs fat AABBs [S,4]. Returns (hit mask,
+    clamped entry fraction) — the same culling the reference's tree raycast
+    performs per node (reference: src/dynamic_tree.c:1213-1315, src/aabb.c:19)."""
+    d = p2 - p1
+    inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+    t1 = (fat[:, 0:2] - p1[None, :]) * inv[None, :]
+    t2 = (fat[:, 2:4] - p1[None, :]) * inv[None, :]
+    tmin = jnp.minimum(t1, t2).max(-1)
+    tmax = jnp.maximum(t1, t2).min(-1)
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= 1.0)
+    return hit, jnp.maximum(tmin, 0.0)
+
+
+def raycast_world(state: State, p1, p2, max_candidates: int = 64) -> RayHit:
+    """Nearest hit along segment p1->p2.
+
+    Small scenes run the exact brute-force scan. Large scenes (flagship
+    scales: Pyramid-100 has ~5k shapes) first slab-cull against fat AABBs and
+    run the full per-shape raycast only on the `max_candidates` nearest-entry
+    candidates — the vectorized analog of the reference's AABB-tree raycast
+    (src/dynamic_tree.c:1213-1315), which also visits only AABB-hit leaves."""
     shapes = state.shapes
     bodies = state.bodies
     p1 = jnp.asarray(p1, jnp.float32)
     p2 = jnp.asarray(p2, jnp.float32)
-    b = shapes.body
+    S = shapes.verts.shape[0]
+
+    if S <= max_candidates:
+        cand = jnp.arange(S, dtype=jnp.int32)
+        cand_ok = shapes.alive
+    else:
+        ab_hit, t_enter = _ray_aabb_enter(shapes.fat_aabb, p1, p2)
+        ab_hit = ab_hit & shapes.alive
+        key = jnp.where(ab_hit, t_enter, jnp.inf)
+        neg_top, cand = jax.lax.top_k(-key, max_candidates)
+        cand = cand.astype(jnp.int32)
+        cand_ok = neg_top != -jnp.inf
+
+    b = shapes.body[cand]
     l1 = m.inv_transform_point(bodies.origin[b], bodies.rot[b], p1)
     l2 = m.inv_transform_point(bodies.origin[b], bodies.rot[b], p2)
 
     ok, frac, pt, n = jax.vmap(raycast_shape, in_axes=(0, 0, None, 0, 0, 0))(
-        l1, l2, jnp.float32(1.0), shapes.verts, shapes.count, shapes.radius
+        l1, l2, jnp.float32(1.0), shapes.verts[cand], shapes.count[cand], shapes.radius[cand]
     )
-    ok = ok & shapes.alive
+    ok = ok & cand_ok
     frac = jnp.where(ok, frac, jnp.inf)
     best = jnp.argmin(frac).astype(jnp.int32)
     hit = ok.any()
+    best_shape = cand[best]
     q = bodies.rot[b[best]]
     p0 = bodies.origin[b[best]]
     return RayHit(
@@ -73,7 +107,7 @@ def raycast_world(state: State, p1, p2) -> RayHit:
         fraction=jnp.where(hit, frac[best], 1.0),
         point=jnp.where(hit, m.transform_point(p0, q, pt[best]), 0.0),
         normal=jnp.where(hit, m.rotate(q, n[best]), 0.0),
-        shape=jnp.where(hit, best, -1),
+        shape=jnp.where(hit, best_shape, -1),
     )
 
 

@@ -8,6 +8,8 @@ from solver2d_tpu import queries
 from solver2d_tpu.ops import geometry
 from solver2d_tpu.step import make_step
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def scene():
@@ -78,3 +80,27 @@ def test_mouse_joint_drag(scene):
     assert pos[1] > 1.0, f"box not lifted: {pos}"
     state = queries.detach_mouse_joint(state, slot)
     assert not bool(state.joints.alive[slot])
+
+
+def test_raycast_accelerated_matches_bruteforce():
+    """The slab-cull + top-k candidate raycast must agree exactly with the
+    exhaustive scan on a scene large enough to trigger the accelerated path
+    (the analog of tree raycast, reference: src/dynamic_tree.c:1213-1315)."""
+    from solver2d_tpu.models.contact_scenes import pyramid_world
+
+    w, _ = pyramid_world(SolverType.TGS_SOFT, base_count=12)  # 79 shapes
+    state, cfg = w.freeze(max_colors=8)
+    S = int(state.shapes.verts.shape[0])
+    assert S > 64  # accelerated path active at the default max_candidates
+
+    rng = np.random.RandomState(5)
+    for _ in range(20):
+        p1 = rng.uniform(-8, 8, 2).astype(np.float32)
+        p2 = rng.uniform(-8, 8, 2).astype(np.float32)
+        acc = queries.raycast_world(state, p1, p2)                      # culled
+        ref = queries.raycast_world(state, p1, p2, max_candidates=S)    # brute
+        assert bool(acc.hit) == bool(ref.hit)
+        if bool(ref.hit):
+            np.testing.assert_allclose(float(acc.fraction), float(ref.fraction), atol=1e-7)
+            np.testing.assert_allclose(np.asarray(acc.normal), np.asarray(ref.normal), atol=1e-6)
+            assert int(acc.shape) == int(ref.shape)
