@@ -11,19 +11,22 @@ stage:
   the entire substep loop (integrate -> warm start -> biased solve ->
   integrate positions -> relax, reference: src/solve_tgs_soft.c:208-269);
 - gathers become MXU matmuls against one-hot incidence matrices built once in
-  VMEM scratch: rowsA = Oa[C,B] @ bs[B,8]; the color-k apply is
-  (Sk ∧ OaT)[B,C] @ outA[C,8] + (Sk ∧ ObT)[B,C] @ outB[C,8]; warm starting is
-  OaT @ dA + ObT @ dB. One-hot rows have exactly one nonzero, so results are
-  bitwise-equal to the gather formulation (adding exact zeros).
+  VMEM scratch: rowsA = Oa[C,B] @ bs[B,8]; scatters (color apply, warm start)
+  are transposed products of the SAME matrices via dot_general contracting
+  dim 0 — Oa^T @ (rows masked to color-k winners) — so no [B,C] copies and no
+  slot table live in VMEM. One-hot columns have at most one unmasked nonzero
+  per color (disjointness + winner gate), so results are bitwise-equal to the
+  gather formulation (adding exact zeros).
 
 Per-contact math reuses `contact_kernels.solve_contact_core` — the exact same
 jnp code as the XLA path, so physics cannot diverge between backends.
 
-Feasible sizes: the incidence matrices are [C, B] f32 x2, so scoped VMEM (16MB)
-bounds B*C at ~131K elements (~117 B/element measured on v5e incl. per-color
-one-hot temporaries; e.g. 128 bodies x 1024 contacts) — the many-small-
-worlds RL-datagen regime. Enable with SimConfig(use_pallas_solver=True)
-(contacts only; worlds with live joints fall back to the XLA path).
+Feasible sizes: only two persistent [C, B] f32 incidence matrices remain
+(round 1 kept four plus per-color [B,C] select temporaries, bounding B*C at
+~131K); scoped VMEM (16 MB) now bounds B*C at ~262K elements — this covers
+the official bench scene (216 bodies x 896 contacts = 193K). Enable with
+SimConfig(use_pallas_solver=True) (contacts only; worlds with live joints
+fall back to the XLA path).
 """
 
 from __future__ import annotations
@@ -58,15 +61,14 @@ def _kernel(
     pmask_ref,         # [C, 2] f32
     active_ref,        # [C, 1] f32
     color_ref,         # [C, 1] i32
-    slot_ref,          # [NCOL, B] i32 (colors leading: lane-dim dynamic
-                       # indexing is not supported by Mosaic)
+    writea_ref,        # [C, 1] f32: endpoint A is written (dynamic body)
+    writeb_ref,        # [C, 1] f32
     winner_ref,        # [C, 1] f32
     n_imp0_ref, t_imp0_ref,  # [C, 2]
     # outputs
     bs_out_ref, n_out_ref, t_out_ref,
     # scratch
     oa_ref, ob_ref,    # [C, B] one-hot f32
-    oat_ref, obt_ref,  # [B, C]
     *, B, C, n_colors, substeps, relax, warm_start, mode,
     loop="substep", relax_iters=0, fixed_warm=False,
 ):
@@ -80,10 +82,6 @@ def _kernel(
     winner = winner_ref[:, 0] > 0.0
     oa_ref[:, :] = (ia[:, None] == iota_b).astype(jnp.float32)
     ob_ref[:, :] = (ib[:, None] == iota_b).astype(jnp.float32)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)   # column index c
-    iota_row = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)  # row index b
-    oat_ref[:, :] = (iota_row == ia[None, :]).astype(jnp.float32)
-    obt_ref[:, :] = (iota_row == ib[None, :]).astype(jnp.float32)
 
     # unpack the constraint-field matrix (columns fixed by pack order below).
     # Per-point fields become 2-TUPLES of rank-2 arrays: Mosaic cannot slice
@@ -111,18 +109,27 @@ def _kernel(
         rows_b = jnp.dot(ob_ref[:, :], bs, preferred_element_type=jnp.float32)
         return rows_a, rows_b
 
-    def color_apply(bs, k, out_a, out_b):
-        slot_k = slot_ref[k, :]  # [B]
-        # keep masks f32: Mosaic only supports minor-dim inserts on 32-bit
-        valid_f = (slot_k >= 0).astype(jnp.float32)[:, None]
-        sk = (iota_c == jnp.maximum(slot_k, 0)[:, None]).astype(jnp.float32)
-        sk = sk * valid_f
-        ma = sk * oat_ref[:, :]
-        mb = sk * obt_ref[:, :]
-        new_rows = jnp.dot(ma, out_a, preferred_element_type=jnp.float32) + jnp.dot(
-            mb, out_b, preferred_element_type=jnp.float32
-        )
-        return bs + valid_f * (new_rows - bs)
+    # transposed one-hot products via dot_general contracting dim 0 of the
+    # SAME [C,B] matrices — no [B,C] scratch copies and no slot table. Rows
+    # of `rhs` are masked to the color-k WINNERS that actually write that
+    # endpoint, so per color each dynamic body receives at most one nonzero
+    # term (color disjointness + the winner gate owns both cells): adding
+    # exact zeros keeps gather-exact semantics; overflow-bucket losers and
+    # static endpoints contribute nothing and their bodies keep old state.
+    _TDOT = (((0,), (0,)), ((), ()))
+
+    def tdot(onehot, rhs):
+        return jax.lax.dot_general(onehot, rhs, _TDOT, preferred_element_type=jnp.float32)
+
+    wa_f = writea_ref[:, :]
+    wb_f = writeb_ref[:, :]
+
+    def color_apply(bs, out_a, out_b, updf):
+        ua = updf * wa_f
+        ub = updf * wb_f
+        new_rows = tdot(oa_ref[:, :], out_a * ua) + tdot(ob_ref[:, :], out_b * ub)
+        written = tdot(oa_ref[:, :], ua) + tdot(ob_ref[:, :], ub)  # [B,1] in {0,1}
+        return bs + written * (new_rows - bs)
 
     def contact_color_loop(bs, n_imp, t_imp, use_bias):
         def body(k, carry):
@@ -136,7 +143,7 @@ def _kernel(
             updf = ((color == k) & active & winner).astype(jnp.float32)[:, None]
             out_a = pack_rows(vA2, wA2, dcA, qA)
             out_b = pack_rows(vB2, wB2, dcB, qB)
-            bs = color_apply(bs, k, out_a, out_b)
+            bs = color_apply(bs, out_a, out_b, updf)
             n_imp = n_imp + updf * (n2 - n_imp)
             t_imp = t_imp + updf * (t2 - t_imp)
             return (bs, n_imp, t_imp)
@@ -172,9 +179,9 @@ def _kernel(
         z1 = jnp.zeros((C, 1), jnp.float32)
         dA = jnp.concatenate([-cons.inv_mass_a[:, None] * P_tot, (-cons.inv_i_a * tq_a)[:, None], zc, zc, z1], axis=-1)
         dB = jnp.concatenate([cons.inv_mass_b[:, None] * P_tot, (cons.inv_i_b * tq_b)[:, None], zc, zc, z1], axis=-1)
-        delta = jnp.dot(oat_ref[:, :], dA, preferred_element_type=jnp.float32) + jnp.dot(
-            obt_ref[:, :], dB, preferred_element_type=jnp.float32
-        )
+        # scatter-add of per-constraint deltas = transposed one-hot products
+        # (multiple constraints per body sum, exactly like the XLA path)
+        delta = tdot(oa_ref[:, :], dA) + tdot(ob_ref[:, :], dB)
         return bs + delta
 
     def integrate_velocities(bs):
@@ -286,6 +293,12 @@ def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
 
+    from ..ops.gather import tgather
+
+    dyn_b = (bodies.type == 2) & bodies.alive
+    writea = tgather(dyn_b, cons.ia).astype(jnp.float32)[:, None]
+    writeb = tgather(dyn_b, cons.ib).astype(jnp.float32)[:, None]
+
     out = pl.pallas_call(
         kernel,
         out_shape=(
@@ -293,13 +306,11 @@ def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
             jax.ShapeDtypeStruct((C, 2), jnp.float32),
             jax.ShapeDtypeStruct((C, 2), jnp.float32),
         ),
-        in_specs=[smem(), smem()] + [vmem()] * 19,
+        in_specs=[smem(), smem()] + [vmem()] * 20,
         out_specs=(vmem(), vmem(), vmem()),
         scratch_shapes=[
             pltpu.VMEM((C, B), jnp.float32),
             pltpu.VMEM((C, B), jnp.float32),
-            pltpu.VMEM((B, C), jnp.float32),
-            pltpu.VMEM((B, C), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -311,7 +322,7 @@ def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
         cons.pmask.astype(jnp.float32),
         cons.active.astype(jnp.float32)[:, None],
         ccolor[:, None],
-        cmap.slot.T,
+        writea, writeb,
         cmap.winner.astype(jnp.float32)[:, None],
         n_imp0, t_imp0,
     )

@@ -307,6 +307,57 @@ class World:
 
     # --- freeze ---
 
+    def _color_defaults(self) -> tuple[int, int]:
+        """Scene-aware (max_colors, joint_max_colors): greedy first-fit needs
+        ~(max constraint degree + 1) colors, so derive the degree bound from
+        the built scene instead of trusting callers — under-coloring silently
+        skips constraints (diag.color_overflow) and sinks stacks.
+
+        Joint degree is exact (the joint graph is static). Contact degree is
+        estimated from initial fat-AABB overlaps — scenes are typically built
+        at rest (stacks/pyramids), so the initial overlap graph tracks the
+        runtime contact graph; a floor of 8 covers convex shapes in scenes
+        that start separated and pile up (a disc packs ~6 neighbours)."""
+        nb = len(self.bodies)
+        jdeg = np.zeros(max(nb, 1), np.int64)
+        for j in self.joints:
+            if not j.alive:
+                continue
+            for b in (j.body_a, j.body_b):
+                if self.bodies[b].def_.type == BodyType.DYNAMIC:
+                    jdeg[b] += 1
+        joint_colors = int(min(30, max(8, int(jdeg.max()) + 2)))
+
+        live = [s for s in self.shapes if s.alive]
+        if not live:
+            return 8, joint_colors
+        n = len(live)
+        lo = np.zeros((n, 2)); hi = np.zeros((n, 2))
+        sbody = np.zeros(n, np.int64)
+        dyn_body = np.array([b.def_.type == BodyType.DYNAMIC for b in self.bodies], bool)
+        for i, s in enumerate(live):
+            b = self.bodies[s.body]
+            rot = _rot_of(b.def_.angle)
+            origin = np.asarray(b.def_.position, np.float64)
+            world = origin + np.stack([_rotate(rot, v) for v in s.geom.verts[: s.geom.count]])
+            margin = SPECULATIVE_DISTANCE if b.def_.type == BodyType.STATIC else AABB_MARGIN + SPECULATIVE_DISTANCE
+            lo[i] = world.min(0) - s.geom.radius - SPECULATIVE_DISTANCE - margin
+            hi[i] = world.max(0) + s.geom.radius + SPECULATIVE_DISTANCE + margin
+            sbody[i] = s.body
+        deg = np.zeros(max(nb, 1), np.int64)
+        sdyn = dyn_body[sbody]
+        for c0 in range(0, n, 512):   # chunked O(S^2) broadcast, ~MBs per chunk
+            c1 = min(c0 + 512, n)
+            ov = (
+                (lo[c0:c1, None, 0] <= hi[None, :, 0]) & (lo[None, :, 0] <= hi[c0:c1, None, 0])
+                & (lo[c0:c1, None, 1] <= hi[None, :, 1]) & (lo[None, :, 1] <= hi[c0:c1, None, 1])
+                & (sbody[c0:c1, None] != sbody[None, :])
+                & (sdyn[c0:c1, None] | sdyn[None, :])
+            )
+            np.add.at(deg, sbody[c0:c1], ov.sum(axis=1))
+        cdeg = int(deg[dyn_body].max()) if dyn_body.any() else 0
+        return int(min(30, max(8, cdeg + 2))), joint_colors
+
     def default_config(self, **overrides) -> SimConfig:
         def _round(n, m):
             return max(m, ((n + m - 1) // m) * m)
@@ -334,9 +385,11 @@ class World:
         dyn_ext = sorted(e for e, d in extents if d) or [1.0]
         cell = max(0.3, 1.05 * dyn_ext[int(0.9 * (len(dyn_ext) - 1))])
         n_big = sum(1 for e, _ in extents if e > cell)
+        max_colors, joint_max_colors = self._color_defaults()
         cfg = SimConfig(
             solver=self.solver, max_bodies=nb, max_shapes=ns, max_contacts=nc, max_joints=nj,
             grid_cell=cell, max_big_shapes=_round(n_big + 4, 4),
+            max_colors=max_colors, joint_max_colors=joint_max_colors,
         )
         return cfg.replace(**overrides) if overrides else cfg
 
@@ -353,11 +406,10 @@ class World:
             self._batch_compute_mass()
         if config.use_pallas_solver:
             assert not self.joints, "use_pallas_solver supports contact-only scenes"
-            # measured on v5e: scoped VMEM (16 MB) fits ~117 bytes per
-            # max_bodies*max_contacts element (4 incidence matrices + per-color
-            # one-hot temporaries); 216x896 = 193K elements needs 22.5 MB and
-            # fails to compile
-            assert config.max_bodies * config.max_contacts <= (1 << 17), (
+            # two persistent [C,B] f32 incidence matrices (transposed products
+            # ride dot_general on the same buffers); scoped VMEM (16 MB)
+            # bounds B*C at ~262K elements (e.g. the 216x896 bench scene)
+            assert config.max_bodies * config.max_contacts <= (1 << 18), (
                 "use_pallas_solver: incidence matrices exceed VMEM; reduce capacities"
             )
             from .config import SolverType as _ST
@@ -369,6 +421,18 @@ class World:
         assert config.max_shapes * config.max_shapes < (1 << 31), (
             "max_shapes too large for int32 pair keys"
         )
+        if config.incremental_coloring and (config.max_colors > 30 or config.joint_max_colors > 30):
+            # assign_colors packs used colors into an i32 bitmask; fall back
+            # to per-step MIS coloring rather than failing at trace time
+            import warnings
+
+            warnings.warn(
+                f"max_colors={config.max_colors}/joint_max_colors={config.joint_max_colors} "
+                "> 30: incremental coloring needs an i32 bitmask; falling back to "
+                "per-step MIS coloring (incremental_coloring=False)",
+                stacklevel=2,
+            )
+            config = config.replace(incremental_coloring=False)
 
         state = State.zeros(config)
         nb, ns, nj = len(self.bodies), len(self.shapes), len(self.joints)
