@@ -51,6 +51,8 @@ def run_scene(
         stepf = make_step(cfg)
         runs[solver] = dict(scene=scene, state=state, cfg=cfg, stepf=stepf, ms=0.0)
 
+    gif = bool(render) and render.endswith(".gif")
+    frames = []
     for i in range(steps):
         for solver, r in runs.items():
             state = r["state"]
@@ -67,7 +69,9 @@ def run_scene(
             r["ms"] += 1e3 * (time.perf_counter() - t0)
             r["state"] = state
         if render and render_every and (i + 1) % render_every == 0:
-            _render(runs, f"{render}.{i+1:05d}.png", f"{category}/{name} step {i+1}")
+            fp = f"{render}.{i+1:05d}.png"
+            _render(runs, fp, f"{category}/{name} step {i+1}")
+            frames.append(fp)
 
     if verbose:
         print(f"=== {category}/{name} after {steps} steps (dt={dt:.5f}) ===")
@@ -80,7 +84,27 @@ def run_scene(
             )
     if render and not render_every:
         _render(runs, f"{render}", f"{category}/{name} step {steps}")
+    if gif and frames:
+        _stitch_gif(frames, render)
     return runs
+
+
+def _stitch_gif(frames, path, fps=15):
+    """Animated multi-solver divergence view — the headless analog of watching
+    the reference testbed's overlaid worlds over time (samples/main.cpp:805-813)."""
+    import os
+
+    from PIL import Image
+
+    imgs = [Image.open(f) for f in frames]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:], duration=int(1000 / fps), loop=0
+    )
+    for im in imgs:
+        im.close()
+    for f in frames:
+        os.remove(f)
+    print(f"wrote {path} ({len(frames)} frames)")
 
 
 def _render(runs, path, title):

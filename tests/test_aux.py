@@ -16,6 +16,9 @@ from solver2d_tpu.utils import runtime
 from solver2d_tpu.utils.checkpoint import load_npz, save_npz
 from solver2d_tpu.utils.checks import reset_unhealthy_worlds, validate_state, world_health
 from solver2d_tpu.utils.settings import Settings
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _simple_world():

@@ -7,6 +7,8 @@ import pytest
 
 from solver2d_tpu.ops.gather import tgather
 
+pytestmark = pytest.mark.fast
+
 
 def _ref(table, idx):
     return table[idx]

@@ -5,6 +5,8 @@ import pytest
 
 from solver2d_tpu.ops import distance, geometry
 
+pytestmark = pytest.mark.fast
+
 
 def pad8(pts):
     g = np.zeros((8, 2), np.float32)

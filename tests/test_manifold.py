@@ -9,7 +9,7 @@ import ref_oracle as oracle
 from solver2d_tpu.ops import geometry, manifold
 from solver2d_tpu.ops import math2d as m
 
-pytestmark = pytest.mark.skipif(not oracle.available(), reason="C oracle unavailable")
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(not oracle.available(), reason="C oracle unavailable")]
 
 _collide = jax.jit(manifold.collide)
 

@@ -4,6 +4,8 @@ import pytest
 
 from solver2d_tpu.ops import geometry, math2d as m
 
+pytestmark = pytest.mark.fast
+
 
 def test_rot_roundtrip():
     angles = jnp.linspace(-3.0, 3.0, 17)

@@ -6,7 +6,7 @@ import pytest
 from solver2d_tpu import BodyType, SolverType, World, native
 from solver2d_tpu.ops import geometry
 
-pytestmark = pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+pytestmark = [pytest.mark.fast, pytest.mark.skipif(not native.available(), reason="no C++ toolchain")]
 
 
 def _build(defer):
