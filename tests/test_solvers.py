@@ -135,8 +135,10 @@ def test_stack_stays_up(solver):
 
 
 def test_warm_start_improves_stack():
-    """Warm starting should reduce penetration drift on a stack (the point of
-    the warm-start machinery, reference: src/contact.c:328-358)."""
+    """Warm starting must measurably help, not merely not-hurt: at 1 velocity
+    iteration a cold-started PGS stack visibly sinks while impulse carry-over
+    holds it (the point of the warm-start machinery, reference:
+    src/contact.c:328-358)."""
     def run(warm):
         w = World(solver=SolverType.PGS)
         g = w.create_body(type=BodyType.STATIC, position=(0, -1))
@@ -145,8 +147,18 @@ def test_warm_start_improves_stack():
             b = w.create_body(type=BodyType.DYNAMIC, position=(0, 0.5 + 1.02 * i))
             w.create_polygon_shape(b, geometry.box(0.5, 0.5))
         state, cfg = w.freeze(max_colors=4)
-        cfg = cfg.replace(warm_start=warm)
+        cfg = cfg.replace(warm_start=warm, iterations=1, extra_iterations=0)
         out, _ = rollout(state, cfg, 120)
-        return float(out.diag.max_penetration)
+        return out
 
-    assert run(True) <= run(False) + 1e-4
+    warm_out = run(True)
+    cold_out = run(False)
+    # impulses actually persist across steps under warm start
+    ni = np.asarray(warm_out.contacts.normal_impulse)
+    touching = np.asarray(warm_out.contacts.alive) & (np.asarray(warm_out.contacts.point_count) > 0)
+    assert np.asarray(warm_out.contacts.persisted)[touching].any()
+    assert np.abs(ni[touching]).max() > 0.0
+    # and measurably reduce penetration (strict, with margin)
+    pen_warm = float(warm_out.diag.max_penetration)
+    pen_cold = float(cold_out.diag.max_penetration)
+    assert pen_warm < 0.75 * pen_cold, (pen_warm, pen_cold)
