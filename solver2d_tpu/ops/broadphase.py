@@ -283,12 +283,27 @@ _F_BODY, _F_GROUP, _F_MASK, _F_CAT, _F_FLAGS = 4, 5, 6, 7, 8
 _FL_ALIVE, _FL_DYN, _FL_SMALL = 1, 2, 4
 
 
+# Int lanes ride f32 packs via the mantissa-bias trick, NOT a plain bitcast:
+# a small int k bitcast to f32 is a DENORMAL (1 -> 1.4e-45), and the TPU
+# flushes denormals to zero inside fused pack/gather pipelines (measured on
+# v5e: stack+tgather and concat+tgather both zero every denormal lane, while
+# a bare bitcast round-trip survives). Adding 0x4B000000 (the bit pattern of
+# 2^23) first lands k in the mantissa of the NORMAL float 2^23 + k, which is
+# FTZ-immune and bit-exact to transport; subtracting after the reverse
+# bitcast recovers k exactly. Works for any |k| well clear of the wrap
+# windows near ±0x4B000000 / ±0x35000000 — body/shape indices, counts,
+# colors, flags, and pair keys (incl. the INT32_MAX sentinel, which maps to
+# the normal float -8388607.5) all qualify. As a bonus, filter masks like
+# 0xFFFFFFFF no longer transport as NaN bit patterns.
+_I2F_BIAS = np.int32(0x4B000000)
+
+
 def _i2f(x):
-    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32) + _I2F_BIAS, jnp.float32)
 
 
 def _f2i(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(x, jnp.int32) - _I2F_BIAS
 
 
 def _pack_shape_rows(shapes: Shapes, body_type: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:

@@ -292,14 +292,19 @@ def gather_apply(slot_k, body_a, values_a, values_b, targets):
     def lanes(x):
         return x.reshape(C, -1)
 
+    # body index lane uses the FTZ-safe biased transport (broadphase._i2f):
+    # a plain bitcast makes small ints denormal and the TPU zeroes them
+    # inside concat+gather fusions (see broadphase.py)
+    from ..ops.broadphase import _f2i, _i2f
+
     packed = jnp.concatenate(
         [lanes(v) for v in values_a]
         + [lanes(v) for v in values_b]
-        + [_jax.lax.bitcast_convert_type(body_a, jnp.float32)[:, None]],
+        + [_i2f(body_a)[:, None]],
         axis=-1,
     )
     rows = tgather(packed, ci)  # [B, sum(k)*2 + 1]
-    is_a = _jax.lax.bitcast_convert_type(rows[:, -1], jnp.int32) == jnp.arange(B, dtype=body_a.dtype)
+    is_a = _f2i(rows[:, -1]) == jnp.arange(B, dtype=body_a.dtype)
 
     outs = []
     o = 0
