@@ -29,6 +29,7 @@ def main():
     base = int(os.environ.get("S2_BENCH_BASE", "20"))  # north-star config: BASE=62 (~2k bodies), WORLDS=4096
     steps = int(os.environ.get("S2_BENCH_STEPS", "20"))
     solver = SolverType[os.environ.get("S2_BENCH_SOLVER", "TGS_SOFT")]
+    narrow = os.environ.get("S2_BENCH_NARROW", "xla")  # xla | lanes | pallas
 
     w, ids = pyramid_world(solver, base_count=base)
     n_bodies = len(ids) + 1
@@ -40,6 +41,7 @@ def main():
         max_contacts=((4 * len(ids) + 127) // 128) * 128,
         max_colors=int(os.environ.get("S2_BENCH_COLORS", "12")),
         gjk_iters=10,
+        narrowphase=narrow,
     )
 
     vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))

@@ -27,6 +27,13 @@ VARIANTS = {
     "colors10": dict(max_colors=10),
     "pallas": dict(use_pallas_solver=True),
     "pallas10": dict(use_pallas_solver=True, max_colors=10),
+    # narrowphase backends (ops/narrow_lanes.py): lane-major XLA vs fused Pallas
+    "lanes": dict(narrowphase="lanes"),
+    "lanes10": dict(narrowphase="lanes", max_colors=10),
+    "npallas": dict(narrowphase="pallas"),
+    "npallas10": dict(narrowphase="pallas", max_colors=10),
+    # everything fused: Pallas narrowphase + Pallas solver
+    "allpallas10": dict(narrowphase="pallas", use_pallas_solver=True, max_colors=10),
 }
 
 names = sys.argv[1:] or ["incremental", "mis"]

@@ -110,6 +110,13 @@ class SimConfig:
     # trip count — 8-12 converges for <=8-vertex shapes and is ~35% faster).
     gjk_iters: int = 20
 
+    # Narrowphase implementation: 'xla' (vmapped per-pair kernel), 'lanes'
+    # (lane-major rank-2 rewrite, plain XLA), or 'pallas' (the lane-major
+    # kernel fused into one Pallas program per world — fastest on TPU).
+    # All three compute identical math (ops/narrow_lanes.py mirrors
+    # ops/manifold.py operation-for-operation).
+    narrowphase: str = "xla"
+
     # Fused Pallas solver: run the entire TGS_Soft substep loop in one VMEM-
     # resident TPU kernel (solvers/pallas_solver.py). Only valid for scenes
     # without joints; scoped VMEM bounds max_bodies*max_contacts at ~131K

@@ -32,41 +32,76 @@ from .solvers.loops import SOLVERS
 from .state import Contacts, Diagnostics, State
 
 
-def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20) -> Contacts:
+def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20, impl: str = "xla") -> Contacts:
     """Batched narrowphase over the contact table + warm-start id matching
     (reference: src/contact.c:296-359).
 
     All per-shape geometry rides ONE packed row-gather per endpoint (and one
     per endpoint body pose): TPU row-gathers have a large fixed per-row cost,
-    so 12 field gathers become 4 (see CLAUDE.md)."""
+    so 12 field gathers become 4 (see CLAUDE.md).
+
+    impl: 'xla' = vmapped per-pair manifold.collide; 'lanes'/'pallas' = the
+    lane-major rewrite (ops/narrow_lanes.py) in plain XLA or as one fused
+    Pallas program per world."""
     shapes = state.shapes
     bodies = state.bodies
     sa, sb = contacts.shape_a, contacts.shape_b
     S = shapes.verts.shape[0]
     C = sa.shape[0]
 
-    geom = jnp.concatenate(
-        [
-            shapes.verts.reshape(S, 16),
-            shapes.normals.reshape(S, 16),
-            broadphase._i2f(shapes.count)[:, None],
-            shapes.radius[:, None],
-        ],
-        axis=-1,
-    )
-    ga, gb = tgather(geom, sa), tgather(geom, sb)
     pose = jnp.concatenate([bodies.origin, bodies.rot], axis=-1)
     pa, pb = tgather(pose, contacts.body_a), tgather(pose, contacts.body_b)
 
-    out = jax.vmap(partial(manifold.collide, gjk_iters=gjk_iters))(
-        ga[:, 0:16].reshape(C, 8, 2), ga[:, 16:32].reshape(C, 8, 2),
-        broadphase._f2i(ga[:, 32]), ga[:, 33],
-        gb[:, 0:16].reshape(C, 8, 2), gb[:, 16:32].reshape(C, 8, 2),
-        broadphase._f2i(gb[:, 32]), gb[:, 33],
-        pa[:, 0:2], pa[:, 2:4],
-        pb[:, 0:2], pb[:, 2:4],
-        contacts.cache_count, contacts.cache_index_a, contacts.cache_index_b,
-    )
+    if impl == "xla":
+        geom = jnp.concatenate(
+            [
+                shapes.verts.reshape(S, 16),
+                shapes.normals.reshape(S, 16),
+                broadphase._i2f(shapes.count)[:, None],
+                shapes.radius[:, None],
+            ],
+            axis=-1,
+        )
+        ga, gb = tgather(geom, sa), tgather(geom, sb)
+        out = jax.vmap(partial(manifold.collide, gjk_iters=gjk_iters))(
+            ga[:, 0:16].reshape(C, 8, 2), ga[:, 16:32].reshape(C, 8, 2),
+            broadphase._f2i(ga[:, 32]), ga[:, 33],
+            gb[:, 0:16].reshape(C, 8, 2), gb[:, 16:32].reshape(C, 8, 2),
+            broadphase._f2i(gb[:, 32]), gb[:, 33],
+            pa[:, 0:2], pa[:, 2:4],
+            pb[:, 0:2], pb[:, 2:4],
+            contacts.cache_count, contacts.cache_index_a, contacts.cache_index_b,
+        )
+    else:
+        from .ops.narrow_pallas import collide_lanes_pallas, collide_lanes_xla
+
+        # lane-major geometry pack: vx(8) vy(8) nx(8) ny(8) count radius
+        geom = jnp.concatenate(
+            [
+                shapes.verts[:, :, 0], shapes.verts[:, :, 1],
+                shapes.normals[:, :, 0], shapes.normals[:, :, 1],
+                shapes.count[:, None].astype(jnp.float32),
+                shapes.radius[:, None],
+            ],
+            axis=-1,
+        )
+        ga, gb = tgather(geom, sa), tgather(geom, sb)
+        cache = jnp.concatenate(
+            [contacts.cache_count[:, None], contacts.cache_index_a, contacts.cache_index_b], axis=-1
+        )
+        fn = collide_lanes_pallas if impl == "pallas" else collide_lanes_xla
+        fout, iout, cout = fn(ga.T, gb.T, pa.T, pb.T, cache.T, gjk_iters)
+        out = manifold.ManifoldOut(
+            normal=fout[0:2].T,
+            anchor_a=jnp.stack([fout[2:4].T, fout[4:6].T], axis=1),
+            anchor_b=jnp.stack([fout[6:8].T, fout[8:10].T], axis=1),
+            separation=fout[10:12].T,
+            point_id=iout[0:2].T,
+            point_count=iout[2],
+            cache_count=cout[0],
+            cache_ia=cout[1:4].T,
+            cache_ib=cout[4:7].T,
+        )
 
     alive = contacts.alive
     new_count = jnp.where(alive, out.point_count, 0)
@@ -138,7 +173,9 @@ def step(state: State, dt, config: SimConfig) -> State:
     contacts = broadphase.match_contacts(state.contacts, pairs, shapes, bodies.type, shapes.body)
 
     # Stage 3a: narrowphase
-    contacts = update_manifolds(state, contacts, gjk_iters=config.gjk_iters)
+    contacts = update_manifolds(
+        state, contacts, gjk_iters=config.gjk_iters, impl=config.narrowphase
+    )
 
     # coloring (contacts and joints separately; they solve in separate
     # passes) + the scatter-free body maps (see ops/coloring.py)
