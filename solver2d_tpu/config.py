@@ -119,8 +119,9 @@ class SimConfig:
 
     # Fused Pallas solver: run the entire TGS_Soft substep loop in one VMEM-
     # resident TPU kernel (solvers/pallas_solver.py). Only valid for scenes
-    # without joints; scoped VMEM bounds max_bodies*max_contacts at ~131K
-    # (measured on v5e: ~117 bytes/element against the 16 MB scoped limit).
+    # without joints; scoped VMEM (16 MB on v5e) bounds
+    # max_bodies*max_contacts at 2^18 (~262K) elements after the round-2
+    # transposed-products halving (world.py:freeze enforces the gate).
     use_pallas_solver: bool = False
 
     # Graph coloring: number of independent constraint batches for the

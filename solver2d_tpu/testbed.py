@@ -37,8 +37,10 @@ def run_scene(
     iterations: int = 4,
     extra_iterations: int = 2,
     warm_start: bool = True,
+    multi_steps: int = 1,
     render: str | None = None,
     render_every: int = 0,
+    draw_options=None,
     verbose: bool = True,
 ):
     dt = 1.0 / hertz if hertz > 0 else 0.0
@@ -64,13 +66,15 @@ def run_scene(
                 if new is not None:
                     state = new
             t0 = time.perf_counter()
-            state = r["stepf"](state, dt)
+            # multi_steps world-steps per frame (reference: samples/sample.cpp:130-137)
+            for _ in range(multi_steps):
+                state = r["stepf"](state, dt)
             state.bodies.position.block_until_ready()
             r["ms"] += 1e3 * (time.perf_counter() - t0)
             r["state"] = state
         if render and render_every and (i + 1) % render_every == 0:
             fp = f"{render}.{i+1:05d}.png"
-            _render(runs, fp, f"{category}/{name} step {i+1}")
+            _render(runs, fp, f"{category}/{name} step {i+1}", draw_options)
             frames.append(fp)
 
     if verbose:
@@ -83,7 +87,7 @@ def run_scene(
                 f" {st.max_penetration:9.4f} {st.kinetic_energy:12.3f} {st.color_overflow:8d}"
             )
     if render and not render_every:
-        _render(runs, f"{render}", f"{category}/{name} step {steps}")
+        _render(runs, f"{render}", f"{category}/{name} step {steps}", draw_options)
     if gif and frames:
         _stitch_gif(frames, render)
     return runs
@@ -107,10 +111,12 @@ def _stitch_gif(frames, path, fps=15):
     print(f"wrote {path} ({len(frames)} frames)")
 
 
-def _render(runs, path, title):
+def _render(runs, path, title, options=None):
     from .utils.draw import render_states
 
-    render_states({s.name: r["state"] for s, r in runs.items()}, path=path, title=title)
+    render_states(
+        {s.name: r["state"] for s, r in runs.items()}, path=path, title=title, options=options
+    )
     print(f"wrote {path}")
 
 
@@ -124,8 +130,17 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--extra-iters", type=int, default=2)
     p.add_argument("--no-warm-start", action="store_true")
+    p.add_argument("--multi-steps", type=int, default=1,
+                   help="world-steps per frame (reference: samples/sample.cpp:130-137)")
     p.add_argument("--render", default=None, help="output PNG path")
     p.add_argument("--render-every", type=int, default=0)
+    # debug-draw layer toggles (reference: debug_draw.h:45-54)
+    p.add_argument("--draw-aabbs", action="store_true")
+    p.add_argument("--draw-mass", action="store_true")
+    p.add_argument("--draw-contact-points", action="store_true")
+    p.add_argument("--draw-contact-normals", action="store_true")
+    p.add_argument("--draw-contact-impulses", action="store_true")
+    p.add_argument("--draw-friction-impulses", action="store_true")
     args = p.parse_args(argv)
 
     if args.list or not args.scene:
@@ -138,12 +153,25 @@ def main(argv=None):
         solvers = list(SolverType)
     else:
         solvers = [SolverType[s.strip()] for s in args.solvers.split(",")]
+    from .utils.draw import DrawOptions
+
+    opts = DrawOptions(
+        draw_aabbs=args.draw_aabbs,
+        draw_mass=args.draw_mass,
+        draw_contact_points=args.draw_contact_points or args.draw_contact_normals
+        or args.draw_contact_impulses or args.draw_friction_impulses,
+        draw_contact_normals=args.draw_contact_normals,
+        draw_contact_impulses=args.draw_contact_impulses,
+        draw_friction_impulses=args.draw_friction_impulses,
+    )
     run_scene(
         category, name, solvers,
         steps=args.steps, hertz=args.hertz,
         iterations=args.iters, extra_iterations=args.extra_iters,
         warm_start=not args.no_warm_start,
+        multi_steps=args.multi_steps,
         render=args.render, render_every=args.render_every,
+        draw_options=opts,
     )
     return 0
 

@@ -29,9 +29,20 @@ class DrawOptions:
     draw_shapes: bool = True
     draw_joints: bool = True
     draw_aabbs: bool = False
+    draw_mass: bool = False
     draw_contact_points: bool = False
     draw_contact_normals: bool = False
     draw_contact_impulses: bool = False
+    draw_friction_impulses: bool = False
+
+
+# contact lifecycle colors (reference: src/world.c:489-494)
+_SPECULATIVE_COLOR = "#4d4d4d"
+_ADD_COLOR = "#4df24d"
+_PERSIST_COLOR = "#4d4df2"
+_NORMAL_COLOR = "#e5e5e5"
+_IMPULSE_COLOR = "#e5e54d"
+_FRICTION_COLOR = "#e5e54d"
 
 
 def _rot(q):
@@ -89,20 +100,61 @@ def draw_world(ax, state: State, color="#4363d8", alpha=0.9, options: DrawOption
                 color="#00cc00", lw=0.4, alpha=0.5,
             )
 
+    if options.draw_mass:
+        # transform axes + mass value at the center of mass
+        # (reference: src/world.c:462-484)
+        position = np.asarray(bodies.position)
+        mass = np.asarray(bodies.mass)
+        balive = np.asarray(bodies.alive)
+        k_axis = 0.4
+        for i in np.nonzero(balive)[0]:
+            p = position[i]
+            R = _rot(rot[i])
+            ax.plot([p[0], p[0] + k_axis * R[0, 0]], [p[1], p[1] + k_axis * R[1, 0]], color="#cc3333", lw=0.8)
+            ax.plot([p[0], p[0] + k_axis * R[0, 1]], [p[1], p[1] + k_axis * R[1, 1]], color="#33cc33", lw=0.8)
+            ax.annotate(f"{mass[i]:.2g}", p, fontsize=5, color=color, alpha=alpha)
+
     if options.draw_contact_points:
+        # point size/color by lifecycle: speculative (sep > slop), add (new
+        # this step), persist (reference: src/world.c:486-534)
+        from ..config import LINEAR_SLOP
+
         con = s.contacts
         calive = np.asarray(con.alive) & (np.asarray(con.point_count) > 0)
         anchors = np.asarray(con.anchor_a)
         normals = np.asarray(con.normal)
+        seps = np.asarray(con.separation)
+        persisted = np.asarray(con.persisted)
+        n_imp = np.asarray(con.normal_impulse)
+        t_imp = np.asarray(con.tangent_impulse)
+        k_impulse, k_axis = 1.0, 0.3
         for i in np.nonzero(calive)[0]:
             ia = int(con.body_a[i])
             R = _rot(rot[ia])
+            n = normals[i]
+            tangent = np.array([n[1], -n[0]])  # s2RightPerp
             for jdx in range(int(con.point_count[i])):
                 p = origin[ia] + R @ anchors[i, jdx]
-                ax.plot([p[0]], [p[1]], marker="o", ms=2, color="#cc2222")
+                if seps[i, jdx] > LINEAR_SLOP:
+                    pc, ms = _SPECULATIVE_COLOR, 2.5
+                elif not persisted[i, jdx]:
+                    pc, ms = _ADD_COLOR, 5.0
+                else:
+                    pc, ms = _PERSIST_COLOR, 2.5
+                ax.plot([p[0]], [p[1]], marker="o", ms=ms, color=pc)
                 if options.draw_contact_normals:
-                    n = normals[i]
-                    ax.plot([p[0], p[0] + 0.2 * n[0]], [p[1], p[1] + 0.2 * n[1]], color="#cccc22", lw=0.6)
+                    ax.plot([p[0], p[0] + k_axis * n[0]], [p[1], p[1] + k_axis * n[1]],
+                            color=_NORMAL_COLOR, lw=0.6)
+                elif options.draw_contact_impulses:
+                    v = k_impulse * n_imp[i, jdx]
+                    ax.plot([p[0], p[0] + v * n[0]], [p[1], p[1] + v * n[1]],
+                            color=_IMPULSE_COLOR, lw=0.8)
+                    ax.annotate(f"{n_imp[i, jdx]:.2g}", p, fontsize=5, color=_IMPULSE_COLOR)
+                if options.draw_friction_impulses:
+                    v = k_impulse * t_imp[i, jdx]
+                    ax.plot([p[0], p[0] + v * tangent[0]], [p[1], p[1] + v * tangent[1]],
+                            color=_FRICTION_COLOR, lw=0.8)
+                    ax.annotate(f"{t_imp[i, jdx]:.2g}", p, fontsize=5, color=_FRICTION_COLOR)
 
 
 def render_states(states: dict[str, State], path: str | None = None, options=None, bounds=None, title=None):

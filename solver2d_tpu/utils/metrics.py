@@ -56,6 +56,59 @@ def max_penetration(state: State):
     return state.diag.max_penetration
 
 
+@dataclasses.dataclass
+class GJKStats:
+    """Analog of the S2_GJK_DEBUG counters (reference: src/distance.c:480-482,
+    :572-574, :597-599): calls, total support iterations, max iterations per
+    call — plus warm-cache hit count. Debug-only instrumentation like the
+    reference's (computed on demand, never in the hot step path); use it to
+    tune SimConfig.gjk_iters by data instead of blind."""
+
+    calls: int        # live pairs evaluated (s2_gjkCalls)
+    iters: int        # total support iterations (s2_gjkIters)
+    max_iters: int    # worst pair (s2_gjkMaxIters)
+    cache_hits: int   # pairs entering with a warm simplex cache
+
+
+def gjk_stats(state: State, gjk_iters: int = 20) -> GJKStats:
+    """Re-run GJK over the live contact table with the same inputs the
+    narrowphase uses (step.update_manifolds) and count convergence."""
+    import jax
+
+    from ..ops import distance as gjk_mod
+    from ..ops import math2d as m
+    from ..ops.gather import tgather
+
+    shapes, bodies, con = state.shapes, state.bodies, state.contacts
+    sa, sb = con.shape_a, con.shape_b
+
+    va, vb = tgather(shapes.verts, sa), tgather(shapes.verts, sb)
+    ca, cb = tgather(shapes.count, sa), tgather(shapes.count, sb)
+    pa = tgather(bodies.origin, con.body_a)
+    qa = tgather(bodies.rot, con.body_a)
+    pb = tgather(bodies.origin, con.body_b)
+    qb = tgather(bodies.rot, con.body_b)
+
+    def one(va, ca, vb, cb, pa, qa, pb, qb, cc, cia, cib):
+        xp, xq = m.inv_mul_transforms(pa, qa, pb, qb)
+        vb_l = xp[None, :] + m.rotate(xq[None, :], vb)
+        out = gjk_mod.gjk(va, ca, vb_l, cb, cc, cia, cib, max_iters=gjk_iters)
+        return out.iterations
+
+    iters = jax.vmap(one)(
+        va, ca, vb, cb, pa, qa, pb, qb,
+        con.cache_count, con.cache_index_a, con.cache_index_b,
+    )
+    live = con.alive
+    iters = jnp.where(live, iters, 0)
+    return GJKStats(
+        calls=int(live.sum()),
+        iters=int(iters.sum()),
+        max_iters=int(iters.max()),
+        cache_hits=int((live & (con.cache_count > 0)).sum()),
+    )
+
+
 def joint_error(state: State):
     """Max point-to-point joint separation (jittable) — the joint-stretch
     metric for Joint Grid / Bridge parity envelopes."""

@@ -89,6 +89,43 @@ def test_health_and_reset():
     assert validate_state(state, cfg) == []
 
 
+def test_debug_draw_layers(tmp_path):
+    """All debug-draw layers render (reference: debug_draw.h:45-54 toggles,
+    lifecycle colors world.c:486-534): shapes, joints, AABBs, mass, contact
+    points with normals / impulses / friction impulses."""
+    from solver2d_tpu.utils.draw import DrawOptions, render_states
+
+    (state, cfg), b = _simple_world()
+    stepf = make_step(cfg)
+    for _ in range(30):
+        state = stepf(state, 1 / 60)
+    # resting box: live persisted contact with nonzero normal impulse
+    assert int(np.asarray(state.contacts.alive).sum()) >= 1
+    opts = DrawOptions(
+        draw_aabbs=True, draw_mass=True, draw_contact_points=True,
+        draw_contact_normals=False, draw_contact_impulses=True,
+        draw_friction_impulses=True,
+    )
+    path = str(tmp_path / "layers.png")
+    render_states({"TGS_SOFT": state}, path=path, options=opts, title="layers")
+    assert os.path.getsize(path) > 10000
+
+
+def test_gjk_stats():
+    """S2_GJK_DEBUG counter analog (reference: distance.c:480-482,597-599)."""
+    from solver2d_tpu.utils.metrics import gjk_stats
+
+    (state, cfg), b = _simple_world()
+    stepf = make_step(cfg)
+    for _ in range(30):
+        state = stepf(state, 1 / 60)
+    st = gjk_stats(state, gjk_iters=cfg.gjk_iters)
+    assert st.calls >= 1                      # resting box-on-ground pair
+    assert st.cache_hits >= 1                 # warm simplex cache persisted
+    assert 0 < st.max_iters <= cfg.gjk_iters  # converged within budget
+    assert st.iters >= st.max_iters
+
+
 def test_soft_constraint_study():
     from soft_constraint import stable
 
