@@ -26,12 +26,15 @@ from solver2d_tpu.solvers.common import make_body_map
 WORLDS = int(os.environ.get("S2_PROF_WORLDS", "64"))
 BASE = int(os.environ.get("S2_PROF_BASE", "20"))
 ITERS = int(os.environ.get("S2_PROF_ITERS", "10"))
+NARROW = os.environ.get("S2_PROF_NARROW", "lanes")
+COLORS = int(os.environ.get("S2_PROF_COLORS", "12"))
 
 w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=BASE)
 state, cfg = w.freeze(
     max_contacts=((4 * len(ids) + 127) // 128) * 128,
-    max_colors=16,
+    max_colors=COLORS,
     gjk_iters=10,
+    narrowphase=NARROW,
 )
 print(f"bodies={len(ids)+1} max_bodies={cfg.max_bodies} max_contacts={cfg.max_contacts} "
       f"max_shapes={cfg.max_shapes} worlds={WORLDS}", flush=True)
@@ -101,7 +104,7 @@ def broad_fn(b):
 def narrow_fn(b):
     def body(carry, _):
         st, contacts = carry
-        c2 = jax.vmap(partial(update_manifolds, gjk_iters=cfg.gjk_iters))(st, contacts)
+        c2 = jax.vmap(partial(update_manifolds, gjk_iters=cfg.gjk_iters, impl=cfg.narrowphase))(st, contacts)
         import dataclasses
         salt = (c2.separation.sum(axis=(1, 2)) * 1e-12)[:, None, None]
         st2 = dataclasses.replace(
@@ -129,6 +132,28 @@ def color_fn(b):
         return (ba + salt, bb), ovf
 
     out, _ = jax.lax.scan(body, (b.contacts.body_a, b.contacts.body_b), None, length=ITERS)
+    return out
+
+
+def colorinc_fn(b):
+    """Steady-state incremental coloring (the production default): carried
+    colors validate + body map, no MIS rounds."""
+    dyn = (b.bodies.type == 2) & b.bodies.alive
+    touching = b.contacts.alive & (b.contacts.point_count > 0)
+
+    def one(carried, ba, bb, t, d):
+        col, ovf = coloring.assign_colors(
+            carried, ba, bb, t, d, cfg.max_bodies, cfg.max_colors, rounds=cfg.color_rounds
+        )
+        cmap = make_body_map(ba, bb, col, t & (col >= 0), d, cfg.max_bodies, cfg.max_colors)
+        return col, ovf, cmap
+
+    def body(carry, _):
+        carried = carry
+        col, ovf, cmap = jax.vmap(one)(carried, b.contacts.body_a, b.contacts.body_b, touching, dyn)
+        return col, ovf
+
+    out, _ = jax.lax.scan(body, b.contacts.color, None, length=ITERS)
     return out
 
 
@@ -166,6 +191,7 @@ STAGES = {
     "broad": broad_fn,
     "narrow": narrow_fn,
     "color": color_fn,
+    "colorinc": colorinc_fn,
     "solve": solve_fn,
 }
 

@@ -312,6 +312,13 @@ def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
             pltpu.VMEM((C, B), jnp.float32),
             pltpu.VMEM((C, B), jnp.float32),
         ],
+        # the default 16 MiB scoped-VMEM budget is conservative (v5e has
+        # 128 MiB physical): the compiler's scoped allocation includes its
+        # own matmul transpose buffers and loop temporaries (~6x our two
+        # incidence scratches — the bench scene needs 23.6 MiB). Raise the
+        # cap; the freeze() B*C gate reflects what measured compiles fit
+        # (exp/pallas_vmem_probe.py).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.full((1, 1), h, jnp.float32), jnp.full((1, 1), inv_h, jnp.float32),

@@ -70,9 +70,15 @@ class GJKStats:
     cache_hits: int   # pairs entering with a warm simplex cache
 
 
-def gjk_stats(state: State, gjk_iters: int = 20) -> GJKStats:
+def gjk_stats(state: State, gjk_iters: int = 20, cold: bool = False) -> GJKStats:
     """Re-run GJK over the live contact table with the same inputs the
-    narrowphase uses (step.update_manifolds) and count convergence."""
+    narrowphase uses (step.update_manifolds) and count convergence.
+
+    Like the reference counters, `iterations` counts support-point trips
+    BEYOND the warm-started simplex (distance.c:572-599): a settled resting
+    contact whose cached simplex already brackets the origin reports 0.
+    Pass cold=True to zero the caches and measure the from-scratch
+    convergence budget — the number that tunes SimConfig.gjk_iters."""
     import jax
 
     from ..ops import distance as gjk_mod
@@ -95,9 +101,10 @@ def gjk_stats(state: State, gjk_iters: int = 20) -> GJKStats:
         out = gjk_mod.gjk(va, ca, vb_l, cb, cc, cia, cib, max_iters=gjk_iters)
         return out.iterations
 
+    cache_count = jnp.zeros_like(con.cache_count) if cold else con.cache_count
     iters = jax.vmap(one)(
         va, ca, vb, cb, pa, qa, pb, qb,
-        con.cache_count, con.cache_index_a, con.cache_index_b,
+        cache_count, con.cache_index_a, con.cache_index_b,
     )
     live = con.alive
     iters = jnp.where(live, iters, 0)
@@ -105,7 +112,7 @@ def gjk_stats(state: State, gjk_iters: int = 20) -> GJKStats:
         calls=int(live.sum()),
         iters=int(iters.sum()),
         max_iters=int(iters.max()),
-        cache_hits=int((live & (con.cache_count > 0)).sum()),
+        cache_hits=int((live & (cache_count > 0)).sum()),
     )
 
 

@@ -122,8 +122,14 @@ def test_gjk_stats():
     st = gjk_stats(state, gjk_iters=cfg.gjk_iters)
     assert st.calls >= 1                      # resting box-on-ground pair
     assert st.cache_hits >= 1                 # warm simplex cache persisted
-    assert 0 < st.max_iters <= cfg.gjk_iters  # converged within budget
+    # a settled warm-started pair may converge in 0 extra support trips
+    # (matches the reference counters' semantics, distance.c:572-599)
+    assert 0 <= st.max_iters <= cfg.gjk_iters
     assert st.iters >= st.max_iters
+    cold = gjk_stats(state, gjk_iters=cfg.gjk_iters, cold=True)
+    assert cold.cache_hits == 0
+    assert 1 <= cold.max_iters <= cfg.gjk_iters   # from-scratch convergence
+    assert cold.iters >= st.iters                 # warm start never hurts
 
 
 def test_soft_constraint_study():
