@@ -1,0 +1,33 @@
+#!/bin/bash
+# Sequential on-chip experiment batch (one tunnel compile per question).
+# Usage: bash exp/chip_batch.sh [stage ...]   (default: all stages in order)
+# Stages: probe variants bf16 pyramid100 jointgrid northstar
+# Output: appends to exp/chip_batch.log with timestamps.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+export S2_FS_NARROW="${S2_FS_NARROW:-lanes}"
+export S2_FS_WORLDS="${S2_FS_WORLDS:-1024}"
+LOG=exp/chip_batch.log
+
+run() {
+  echo "=== [$(date +%H:%M:%S)] $* ===" >> "$LOG"
+  timeout 3600 "$@" >> "$LOG" 2>&1
+  echo "=== [$(date +%H:%M:%S)] rc=$? ===" >> "$LOG"
+}
+
+for stage in "${@:-probe variants bf16 pyramid100 jointgrid northstar}"; do
+  for s in $stage; do
+    case "$s" in
+      probe)      run python -u exp/pallas_vmem_probe.py 896 ;;
+      variants)   run python -u exp/step_variants.py pallas10 ;;
+      bf16)       run python -u exp/bf16_incidence_probe.py ;;
+      pyramid100) run python -u exp/flagship.py pyramid100 ;;
+      jointgrid)  run python -u exp/flagship.py jointgrid ;;
+      northstar)  run python -u exp/flagship.py northstar ;;
+      *) echo "unknown stage $s" >> "$LOG" ;;
+    esac
+  done
+done
+echo "=== [$(date +%H:%M:%S)] batch done ===" >> "$LOG"

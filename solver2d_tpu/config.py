@@ -111,17 +111,21 @@ class SimConfig:
     gjk_iters: int = 20
 
     # Narrowphase implementation: 'xla' (vmapped per-pair kernel), 'lanes'
-    # (lane-major rank-2 rewrite, plain XLA), or 'pallas' (the lane-major
-    # kernel fused into one Pallas program per world — fastest on TPU).
+    # (lane-major rank-2 rewrite, plain XLA — fastest measured on chip), or
+    # 'pallas' (the lane-major kernel fused into one Pallas program per
+    # world — measured ~4% slower than 'lanes' at 64 worlds x 211 bodies).
     # All three compute identical math (ops/narrow_lanes.py mirrors
     # ops/manifold.py operation-for-operation).
     narrowphase: str = "xla"
 
     # Fused Pallas solver: run the entire TGS_Soft substep loop in one VMEM-
     # resident TPU kernel (solvers/pallas_solver.py). Only valid for scenes
-    # without joints; scoped VMEM (16 MB on v5e) bounds
-    # max_bodies*max_contacts at 2^18 (~262K) elements after the round-2
-    # transposed-products halving (world.py:freeze enforces the gate).
+    # without joints. VMEM gate: the compiler's scoped allocation is ~6x our
+    # two persistent [C,B] incidence matrices (Mosaic matmul transpose
+    # buffers + loop temporaries; measured 23.57 MiB at B*C=193K,
+    # exp/pallas_vmem_probe.py), so pallas_solver.py raises vmem_limit_bytes
+    # to 100 MiB (of 128 MiB physical on v5e) and world.py:freeze gates
+    # max_bodies*max_contacts at 2^18.
     use_pallas_solver: bool = False
 
     # Graph coloring: number of independent constraint batches for the
