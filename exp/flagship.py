@@ -67,7 +67,12 @@ def timeblock(name, state, cfg, worlds=1, steps=STEPS):
 
 def pyramid100():
     w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=100)
-    state, cfg = w.freeze(max_contacts=4 * 5056, gjk_iters=10, narrowphase=NARROW)
+    # colors: the tall pyramid's contact graph needs ~10; 12 adds margin
+    # (8 measured color_ovf=80 on chip — skipped constraints)
+    state, cfg = w.freeze(
+        max_contacts=4 * 5056, gjk_iters=10, narrowphase=NARROW,
+        max_colors=int(os.environ.get("S2_FS_COLORS", "12")),
+    )
     print(f"pyramid100: bodies={len(ids)+1} S={cfg.max_shapes} C={cfg.max_contacts} "
           f"colors={cfg.max_colors} cell={cfg.grid_cell:.2f} big={cfg.max_big_shapes}", flush=True)
     out = timeblock("pyramid100", state, cfg)
@@ -90,7 +95,8 @@ def northstar():
     worlds = int(os.environ.get("S2_FS_WORLDS", "4096"))
     w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=62)  # 1953 boxes
     state, cfg = w.freeze(
-        max_contacts=((4 * len(ids) + 127) // 128) * 128, gjk_iters=10, narrowphase=NARROW
+        max_contacts=((4 * len(ids) + 127) // 128) * 128, gjk_iters=10, narrowphase=NARROW,
+        max_colors=int(os.environ.get("S2_FS_COLORS", "12")),
     )
     print(f"northstar: {worlds} worlds x {len(ids)+1} bodies, C={cfg.max_contacts} "
           f"S={cfg.max_shapes} colors={cfg.max_colors}", flush=True)

@@ -34,6 +34,8 @@ VARIANTS = {
     "npallas10": dict(narrowphase="pallas", max_colors=10),
     # everything fused: Pallas narrowphase + Pallas solver
     "allpallas10": dict(narrowphase="pallas", use_pallas_solver=True, max_colors=10),
+    # best-of-each candidate: lane-major XLA narrowphase + fused Pallas solver
+    "lanespallas10": dict(narrowphase="lanes", use_pallas_solver=True, max_colors=10),
 }
 
 names = sys.argv[1:] or ["incremental", "mis"]

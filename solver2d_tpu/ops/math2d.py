@@ -95,8 +95,37 @@ def compute_angular_velocity(q1, q2, inv_h):
     return inv_h * (q2[..., 0] * q1[..., 1] - q2[..., 1] * q1[..., 0])
 
 
+def atan2(y, x):
+    """Branchless elementwise atan2 built from mul/add/select only.
+
+    Mosaic has no atan2 lowering (NotImplementedError on TPU kernels, probed
+    in exp/mosaic_probe.py), and `relative_angle` now runs INSIDE the fused
+    Pallas solver's joint pass — so every atan2 in solver math routes through
+    this implementation, keeping the XLA and Pallas paths bit-identical.
+
+    Octant reduction to |z| <= tan(pi/8) followed by the Cephes atanf minimax
+    polynomial (~1 ulp on the reduced range; overall error vs libm atan2f
+    measured < 3e-7 rad). atan2(0, 0) = 0 like libm with +0 inputs.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.where(hi > 0.0, hi, 1.0)  # in [0, 1]; 0 when x=y=0
+    # second reduction: a > tan(pi/8) -> atan(a) = pi/4 + atan((a-1)/(a+1))
+    big = a > 0.4142135623730950
+    z = jnp.where(big, (a - 1.0) / (a + 1.0), a)
+    z2 = z * z
+    p = (((8.05374449538e-2 * z2 - 1.38776856032e-1) * z2 + 1.99777106478e-1)
+         * z2 - 3.33329491874e-1) * z2 * z + z
+    t = jnp.where(big, 0.25 * jnp.pi + p, p)
+    t = jnp.where(ay > ax, 0.5 * jnp.pi - t, t)
+    t = jnp.where(x < 0.0, jnp.pi - t, t)
+    return jnp.where(y < 0.0, -t, t)
+
+
 def rot_angle(q):
-    return jnp.arctan2(q[..., 0], q[..., 1])
+    return atan2(q[..., 0], q[..., 1])
 
 
 def mul_rot(b, a):
@@ -117,7 +146,7 @@ def relative_angle(b, a):
     """atan2 of rot_b relative to rot_a (reference: math.h:320-327)."""
     s = b[..., 0] * a[..., 1] - b[..., 1] * a[..., 0]
     c = b[..., 1] * a[..., 1] + b[..., 0] * a[..., 0]
-    return jnp.arctan2(s, c)
+    return atan2(s, c)
 
 
 def rotate(q, v):

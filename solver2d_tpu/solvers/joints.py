@@ -49,7 +49,13 @@ class JointCons(NamedTuple):
     local_anchor_b: jnp.ndarray
     center_diff0: jnp.ndarray    # [J,2]
     axial_mass: jnp.ndarray      # [J]
-    pivot_mass: jnp.ndarray      # [J,2,2]
+    # prepared pivot effective-mass inverse, stored as the three distinct
+    # entries of the symmetric 2x2 (rank-2 only: the fused Pallas kernel
+    # cannot slice rank-3 minor dims — Mosaic)
+    pm11: jnp.ndarray            # [J]
+    pm12: jnp.ndarray            # [J]
+    pm22: jnp.ndarray            # [J]
+    inertia_b: jnp.ndarray       # [J] body-B rotational inertia (mouse damping)
     bias_coef: jnp.ndarray       # [J]
     mass_coef: jnp.ndarray       # [J]
     imp_coef: jnp.ndarray        # [J]
@@ -73,10 +79,29 @@ class JointImp(NamedTuple):
 
 
 def _pivot_k(rA, rB, mA, mB, iA, iB):
+    """Symmetric pivot effective-mass matrix as its three distinct entries
+    (reference: revolute_joint.c:624-633). Rank-2 columns, not [J,2,2]."""
     k11 = mA + mB + rA[:, 1] ** 2 * iA + rB[:, 1] ** 2 * iB
     k12 = -rA[:, 1] * rA[:, 0] * iA - rB[:, 1] * rB[:, 0] * iB
     k22 = mA + mB + rA[:, 0] ** 2 * iA + rB[:, 0] ** 2 * iB
-    return m.mat22(k11, k12, k12, k22)
+    return k11, k12, k22
+
+
+def _solve_sym(k11, k12, k22, b):
+    """Solve the symmetric 2x2 [k11 k12; k12 k22] x = b, det==0 -> zero
+    (mirrors math.h:410-420 semantics)."""
+    det = k11 * k22 - k12 * k12
+    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    x = inv_det * (k22 * b[:, 0] - k12 * b[:, 1])
+    y = inv_det * (k11 * b[:, 1] - k12 * b[:, 0])
+    return jnp.stack([x, y], axis=-1)
+
+
+def _inv_sym(k11, k12, k22):
+    """Inverse of the symmetric 2x2 as its three distinct entries."""
+    det = k11 * k22 - k12 * k12
+    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    return inv_det * k22, -inv_det * k12, inv_det * k11
 
 
 def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm_start: bool):
@@ -102,8 +127,8 @@ def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm
         tgather(bodies.position, ib) - tgather(bodies.position, ia),  # revolute_joint.c:53
     )
 
-    K = _pivot_k(rA, rB, mA, mB, iA, iB)
-    pivot_mass = m.inverse22(K)
+    k11, k12, k22 = _pivot_k(rA, rB, mA, mB, iA, iB)
+    pm11, pm12, pm22 = _inv_sym(k11, k12, k22)
 
     k_ax = iA + iB
     axial_mass = jnp.where(k_ax > 0.0, 1.0 / jnp.where(k_ax > 0.0, k_ax, 1.0), 0.0)
@@ -135,7 +160,8 @@ def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm
         ia=ia, ib=ib, is_mouse=is_mouse, active=joints.alive,
         inv_mass_a=mA, inv_i_a=iA, inv_mass_b=mB, inv_i_b=iB,
         local_anchor_a=la, local_anchor_b=lb, center_diff0=center_diff0,
-        axial_mass=axial_mass, pivot_mass=pivot_mass,
+        axial_mass=axial_mass, pm11=pm11, pm12=pm12, pm22=pm22,
+        inertia_b=tgather(bodies.inertia, ib),
         bias_coef=bias_coef, mass_coef=mass_coef, imp_coef=imp_coef,
         reference_angle=joints.reference_angle,
         lower_angle=joints.lower_angle, upper_angle=joints.upper_angle,
@@ -234,34 +260,31 @@ def _motor_limits(cons, imp, wA, wB, qA, qB, h, inv_h, mode: str, use_bias: bool
     return wA, wB, imp._replace(motor=motor, lower=lower, upper=upper)
 
 
-def _mouse_angular_damping(cons, imp, wB, inertia_b, h):
+def _mouse_angular_damping(cons, imp, wB, h):
     """Mouse pseudo-motor angular damping (mouse_joint.c:120-131)."""
     zeta, hz = 0.1, 0.5
     omega = 2.0 * PI * hz
     c = h * omega * (2.0 * zeta + h * omega)
     imp_scale = 1.0 / (1.0 + c)
     mass_scale = c * imp_scale
-    impulse = -mass_scale * inertia_b * wB - imp_scale * imp.motor
+    impulse = -mass_scale * cons.inertia_b * wB - imp_scale * imp.motor
     do = cons.is_mouse & cons.active
     motor = jnp.where(do, imp.motor + impulse, imp.motor)
     wB = wB + jnp.where(do, cons.inv_i_b * impulse, 0.0)
     return wB, imp._replace(motor=motor)
 
 
-def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, inertia, color, bmap, solve_mouse: bool = True, only_mouse: bool = False):
-    """One colored joint velocity pass, applied scatter-free via the body map.
+def solve_joint_core(cons: JointCons, vA, wA, vB, wB, qA, qB, dcA_r, dcB_r,
+                     imp: JointImp, mode: str, h, inv_h, use_bias: bool,
+                     solve_mouse: bool = True, only_mouse: bool = False):
+    """Pure per-lane joint velocity solve (no gathers/applies): the exact
+    same math for the XLA colored pass and the fused Pallas kernel, so the
+    two backends cannot diverge. All arrays rank <= 2 (Mosaic-safe).
 
-    mode: 'rigid' | 'soft' | 'baumgarte'. carry = (v, w, dp, rot, imp).
-    inertia: [B] body rotational inertias (for the mouse damping pseudo-motor).
-    solve_mouse: mouse joints are skipped in soft relax passes
-    (joint.c:390-397)."""
-    from .common import gather_apply, pack_rows, unpack_rows
-
-    bs, imp = carry
-    ia, ib = cons.ia, cons.ib
-    _ra, _rb = gather_rows2(bs, ia, ib)
-    vA, wA, dcA_r, qA = unpack_rows(_ra)
-    vB, wB, dcB_r, qB = unpack_rows(_rb)
+    Returns (vA2, wA2, vB2, wB2, new_imp, imp2, scope): velocities already
+    restored to their inputs outside `scope`; `new_imp` is the all-lane
+    updated pivot impulse, `imp2` the all-lane motor/limit impulses — the
+    caller masks both to the winning color lanes."""
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
 
@@ -270,7 +293,7 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
     wA, wB, imp2 = _motor_limits(cons, imp, wA, wB, qA, qB, h, inv_h, mode, use_bias)
 
     if solve_mouse:
-        wB, imp2 = _mouse_angular_damping(cons, imp2, wB, tgather(inertia, ib), h)
+        wB, imp2 = _mouse_angular_damping(cons, imp2, wB, h)
 
     # Point-to-point
     rA = m.rotate(qA, cons.local_anchor_a)
@@ -301,9 +324,14 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
 
     # fresh pivot mass (S2_FRESH_PIVOT_MASS, revolute_joint.c:630-636); the
     # mouse joint uses its prepared pivot mass (mouse_joint.c:153)
-    K = _pivot_k(rA, rB, mA, mB, iA, iB)
-    b_fresh = m.solve22(K, cdot + bias)
-    b_prep = m.mul_mv(cons.pivot_mass, cdot + bias)
+    k11, k12, k22 = _pivot_k(rA, rB, mA, mB, iA, iB)
+    rhs = cdot + bias
+    b_fresh = _solve_sym(k11, k12, k22, rhs)
+    b_prep = jnp.stack(
+        [cons.pm11 * rhs[:, 0] + cons.pm12 * rhs[:, 1],
+         cons.pm12 * rhs[:, 0] + cons.pm22 * rhs[:, 1]],
+        axis=-1,
+    )
     b = jnp.where(cons.is_mouse[:, None], b_prep, b_fresh)
 
     impulse = -mass_scale[:, None] * b - imp_scale[:, None] * imp2.impulse
@@ -328,6 +356,27 @@ def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, i
     wA = jnp.where(scope, wA, wA0_in)
     vB = jnp.where(scopen, vB, vB0_in)
     wB = jnp.where(scope, wB, wB0_in)
+    return vA, wA, vB, wB, new_imp, imp2, scope
+
+
+def solve_pass(carry, k, cons: JointCons, mode: str, h, inv_h, use_bias: bool, color, bmap, solve_mouse: bool = True, only_mouse: bool = False):
+    """One colored joint velocity pass, applied scatter-free via the body map.
+
+    mode: 'rigid' | 'soft' | 'baumgarte'. carry = (bs, imp).
+    solve_mouse: mouse joints are skipped in soft relax passes
+    (joint.c:390-397)."""
+    from .common import gather_apply, pack_rows, unpack_rows
+
+    bs, imp = carry
+    ia, ib = cons.ia, cons.ib
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA_r, qA = unpack_rows(_ra)
+    vB, wB, dcB_r, qB = unpack_rows(_rb)
+
+    vA, wA, vB, wB, new_imp, imp2, scope = solve_joint_core(
+        cons, vA, wA, vB, wB, qA, qB, dcA_r, dcB_r, imp, mode, h, inv_h,
+        use_bias, solve_mouse, only_mouse,
+    )
 
     upd = (color == k) & scope & bmap.winner
     updn = upd[:, None]
@@ -377,8 +426,8 @@ def position_pass(bs, k, cons: JointCons, color, bmap):
     rA = m.rotate(qA, cons.local_anchor_a)
     rB = m.rotate(qB, cons.local_anchor_b)
     Cp = (dcB - dcA) + (rB - rA) + cons.center_diff0
-    K = _pivot_k(rA, rB, mA, mB, iA, iB)
-    impulse = m.solve22(K, -Cp)
+    k11, k12, k22 = _pivot_k(rA, rB, mA, mB, iA, iB)
+    impulse = _solve_sym(k11, k12, k22, -Cp)
     impulse = jnp.where(rev[:, None], impulse, 0.0)
 
     dcA = dcA - mA[:, None] * impulse

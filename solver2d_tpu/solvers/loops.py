@@ -58,12 +58,12 @@ def _contact_gs(st, colors, cfg, cons, mode, inv_h, use_bias):
     return (bs, n, t, jimp)
 
 
-def _joint_gs(st, colors, cfg, jcons, mode, h, inv_h, use_bias, inertia, solve_mouse=True, only_mouse=False):
+def _joint_gs(st, colors, cfg, jcons, mode, h, inv_h, use_bias, solve_mouse=True, only_mouse=False):
     jcolor, jmap = colors[2], colors[3]
     bs, n, t, jimp = st
     bs, jimp = colored_pass(
         cfg.joint_max_colors,
-        lambda c, k: jk.solve_pass(c, k, jcons, mode, h, inv_h, use_bias, inertia, jcolor, jmap, solve_mouse, only_mouse),
+        lambda c, k: jk.solve_pass(c, k, jcons, mode, h, inv_h, use_bias, jcolor, jmap, solve_mouse, only_mouse),
         (bs, jimp),
     )
     return (bs, n, t, jimp)
@@ -125,7 +125,7 @@ def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, colors, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
+        st = _joint_gs(st, colors, cfg, jcons, "baumgarte", h, inv_h, True)
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_BAUMGARTE, inv_h, True)
         return st
 
@@ -148,7 +148,7 @@ def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True)
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_PLAIN, inv_h, True)
         return st
 
@@ -181,7 +181,7 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
     st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True)
         bs, n, t, jimp = st
         bs, n, t = colored_pass(
             cfg.max_colors,
@@ -212,7 +212,9 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
     """reference: src/solve_pgs_soft.c:127-242."""
     if cfg.use_pallas_solver:
         return _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg,
-                             mode=ck.PGS_SOFT, loop="pgs", fixed_warm=False, hertz_factor=0.333)
+                             mode=ck.PGS_SOFT, loop="pgs", fixed_warm=False,
+                             hertz_factor=0.333, joint_hertz_factor=0.5,
+                             joint_warm=cfg.warm_start)
     h = dt
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     contact_hertz = jnp.minimum(CONTACT_HERTZ, 0.333 * inv_h)
@@ -227,7 +229,7 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
-        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
+        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True)
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_SOFT, inv_h, True)
         return st
 
@@ -235,7 +237,7 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
 
     def relax_it(_, st):
-        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
+        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, solve_mouse=False)
         st = _contact_gs(st, colors, cfg, cons, ck.PGS_SOFT, inv_h, False)
         return st
 
@@ -261,7 +263,7 @@ def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
 
     def it_factory(use_bias):
         def it(_, st):
-            st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, use_bias, bodies.inertia, solve_mouse=use_bias)
+            st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, use_bias, solve_mouse=use_bias)
             bs, n, t, jimp = st
             bs, n, t = ck.jacobi_contact_pass(bs, cons, n, t, ck.JACOBI_SOFT, inv_h, use_bias)
             return (bs, n, t, jimp)
@@ -298,11 +300,11 @@ def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, join
             bs, n, t, jimp = st
             bs = warm_start_packed(bs, cons, n, t, fixed_anchors=fixed_warm)
             st = (bs, n, t, jimp)
-        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True, bodies.inertia)
+        st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True)
         st = _contact_gs(st, colors, cfg, cons, mode, inv_h, True)
         st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
         if cfg.extra_iterations > 0:
-            st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, bodies.inertia, solve_mouse=False)
+            st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, False, solve_mouse=False)
             st = _contact_gs(st, colors, cfg, cons, mode, inv_h, False)
         return st
 
@@ -318,12 +320,13 @@ def solve_tgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg):
 
 
 def _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg, *,
-                  mode, loop, fixed_warm, hertz_factor):
-    """Fused VMEM path (solvers/pallas_solver.py): contacts only — scenes with
-    joints must use the XLA path (enforced at freeze)."""
+                  mode, loop, fixed_warm, hertz_factor, joint_hertz_factor,
+                  joint_warm=True):
+    """Fused VMEM path (solvers/pallas_solver.py): the whole solver loop —
+    soft contacts AND soft joints (revolute + mouse) — in one kernel."""
     import jax as _jax
 
-    from .pallas_solver import contact_solve
+    from .pallas_solver import fused_solve
 
     if loop == "substep":
         h = dt / cfg.iterations
@@ -332,29 +335,35 @@ def _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg, *,
         h = dt
         inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     contact_hertz = jnp.minimum(CONTACT_HERTZ, hertz_factor * inv_h)
+    joint_hertz = jnp.minimum(JOINT_HERTZ, joint_hertz_factor * inv_h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=joint_warm)
     bs0 = _init(bodies)
-    ccolor, cmap = colors[0], colors[1]
+    ccolor, cmap, jcolor, jmap = colors
     interpret = _jax.default_backend() not in ("tpu", "axon")
-    bs, n, t = contact_solve(
+    bs, n, t, jimp = fused_solve(
         bodies, bs0, n, t, cons, gravity, ccolor, cmap, h, inv_h, cfg,
+        jcons, jimp, jcolor, jmap,
         interpret=interpret, mode=mode, loop=loop, fixed_warm=fixed_warm,
         relax_iters=cfg.extra_iterations,
     )
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
     return _finish(bodies, contacts, joints, cons, jcons, (bs, n, t, jimp))
 
 
 def _solve_tgs_soft_pallas(bodies, contacts, joints, colors, gravity, dt, cfg):
+    # joint prepare keeps stored impulses unconditionally in the substep
+    # solvers (_substep_soft passes warm_start=True)
     return _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg,
-                         mode=ck.TGS_SOFT, loop="substep", fixed_warm=False, hertz_factor=0.25)
+                         mode=ck.TGS_SOFT, loop="substep", fixed_warm=False,
+                         hertz_factor=0.25, joint_hertz_factor=0.125)
 
 
 def solve_soft_step(bodies, contacts, joints, colors, gravity, dt, cfg):
     """reference: src/solve_soft_step.c:182-311 (TGS_Soft with fixed anchors)."""
     if cfg.use_pallas_solver:
         return _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg,
-                             mode=ck.SOFT_STEP, loop="substep", fixed_warm=True, hertz_factor=0.25)
+                             mode=ck.SOFT_STEP, loop="substep", fixed_warm=True,
+                             hertz_factor=0.25, joint_hertz_factor=0.25)
     return _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, ck.SOFT_STEP, 0.25, fixed_warm=True)
 
 
@@ -376,7 +385,7 @@ def solve_tgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
             bs, n, t, jimp = st
             bs = warm_start_packed(bs, cons, n, t)
             st = (bs, n, t, jimp)
-        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia)
+        st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True)
         st = _contact_gs(st, colors, cfg, cons, ck.TGS_RIGID, inv_h, True)
         st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
         st = _joint_ngs(st, colors, cfg, jcons)
@@ -415,7 +424,7 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
         bs, n, t, jimp, fp = st
         bs = integrate_velocities_packed(bodies, bs, gravity, h)
         st4 = (bs, n, t, jimp)
-        st4 = _joint_gs(st4, colors, cfg, jcons, "baumgarte", h, inv_h, True, bodies.inertia)
+        st4 = _joint_gs(st4, colors, cfg, jcons, "baumgarte", h, inv_h, True)
         st = st4 + (fp,)
         st = sticky_gs(st, True)
         st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
@@ -433,7 +442,7 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
     def relax(_, st):
         bs, n, t, jimp, fp = st
         st4 = (bs, n, t, jimp)
-        st4 = _joint_gs(st4, colors, cfg, jcons, "baumgarte", h, inv_h, False, bodies.inertia)
+        st4 = _joint_gs(st4, colors, cfg, jcons, "baumgarte", h, inv_h, False)
         st = st4 + (fp,)
         return sticky_gs(st, False)
 
@@ -484,7 +493,7 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
             bs,
         )
         st4 = (bs, n, t, jimp)
-        st4 = _joint_gs(st4, colors, cfg, jcons, "rigid", h, inv_h, True, bodies.inertia, solve_mouse=True, only_mouse=True)
+        st4 = _joint_gs(st4, colors, cfg, jcons, "rigid", h, inv_h, True, solve_mouse=True, only_mouse=True)
         bs, n, t, jimp = st4
 
         # contact position projection

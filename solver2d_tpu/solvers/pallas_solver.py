@@ -16,17 +16,23 @@ stage:
   dim 0 — Oa^T @ (rows masked to color-k winners) — so no [B,C] copies and no
   slot table live in VMEM. One-hot columns have at most one unmasked nonzero
   per color (disjointness + winner gate), so results are bitwise-equal to the
-  gather formulation (adding exact zeros).
+  gather formulation (adding exact zeros). All one-hot dots carry
+  precision=HIGHEST: the MXU rounds f32 operands to bf16 at DEFAULT (measured
+  maxrel 3.8e-3, exp/mosaic_probe.py), which would corrupt every gathered body
+  state; HIGHEST (3-pass bf16 splitting) is measured bitwise-exact at ~1.28x
+  the dot cost.
 
-Per-contact math reuses `contact_kernels.solve_contact_core` — the exact same
-jnp code as the XLA path, so physics cannot diverge between backends.
+Per-contact math reuses `contact_kernels.solve_contact_core` and per-joint
+math reuses `joints.solve_joint_core` — the exact same jnp code as the XLA
+path, so physics cannot diverge between backends. Joints (soft revolute +
+mouse, reference src/solve_tgs_soft.c:207-231 solve order: joints before
+contacts in every phase) ride their own [J,B] one-hot incidence pair.
 
 Feasible sizes: only two persistent [C, B] f32 incidence matrices remain
 (round 1 kept four plus per-color [B,C] select temporaries, bounding B*C at
-~131K); scoped VMEM (16 MB) now bounds B*C at ~262K elements — this covers
-the official bench scene (216 bodies x 896 contacts = 193K). Enable with
-SimConfig(use_pallas_solver=True) (contacts only; worlds with live joints
-fall back to the XLA path).
+~131K); the raised 100 MiB scoped cap now bounds B*(C+J) at ~2^18 elements —
+this covers the official bench scene (216 bodies x 896 contacts = 193K).
+Enable with SimConfig(use_pallas_solver=True).
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
 from . import contact_kernels as ck
+from . import joints as jk
 from .common import ContactCons, pack_rows, unpack_rows
 
 
@@ -65,11 +72,21 @@ def _kernel(
     writeb_ref,        # [C, 1] f32
     winner_ref,        # [C, 1] f32
     n_imp0_ref, t_imp0_ref,  # [C, 2]
+    # joint inputs (VMEM); revolute + mouse, always fused (runtime-attached
+    # mouse joints must work even when the scene froze without joints)
+    ja_ref, jb_ref,    # [J, 1] i32
+    jcons_f_ref,       # [J, NJF] packed per-joint f32 constraint fields
+    jflags_ref,        # [J, 4] f32: is_mouse, active, enable_limit, enable_motor
+    jcolor_ref,        # [J, 1] i32
+    jwritea_ref, jwriteb_ref,  # [J, 1] f32
+    jwinner_ref,       # [J, 1] f32
+    jimp0_ref,         # [J, 5] impulse xy, motor, lower, upper
     # outputs
-    bs_out_ref, n_out_ref, t_out_ref,
+    bs_out_ref, n_out_ref, t_out_ref, jimp_out_ref,
     # scratch
     oa_ref, ob_ref,    # [C, B] one-hot f32
-    *, B, C, n_colors, substeps, relax, warm_start, mode,
+    joa_ref, job_ref,  # [J, B] one-hot f32
+    *, B, C, n_colors, n_joint_colors, substeps, relax, warm_start, mode,
     loop="substep", relax_iters=0, fixed_warm=False,
 ):
     h = h_ref[0, 0]
@@ -82,6 +99,13 @@ def _kernel(
     winner = winner_ref[:, 0] > 0.0
     oa_ref[:, :] = (ia[:, None] == iota_b).astype(jnp.float32)
     ob_ref[:, :] = (ib[:, None] == iota_b).astype(jnp.float32)
+
+    J = ja_ref.shape[0]
+    jiota_b = jax.lax.broadcasted_iota(jnp.int32, (J, B), 1)
+    ja = ja_ref[:, 0]
+    jb = jb_ref[:, 0]
+    joa_ref[:, :] = (ja[:, None] == jiota_b).astype(jnp.float32)
+    job_ref[:, :] = (jb[:, None] == jiota_b).astype(jnp.float32)
 
     # unpack the constraint-field matrix (columns fixed by pack order below).
     # Per-point fields become 2-TUPLES of rank-2 arrays: Mosaic cannot slice
@@ -105,8 +129,10 @@ def _kernel(
     color = color_ref[:, 0]
 
     def gather_rows(bs):
-        rows_a = jnp.dot(oa_ref[:, :], bs, preferred_element_type=jnp.float32)
-        rows_b = jnp.dot(ob_ref[:, :], bs, preferred_element_type=jnp.float32)
+        rows_a = jnp.dot(oa_ref[:, :], bs, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        rows_b = jnp.dot(ob_ref[:, :], bs, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         return rows_a, rows_b
 
     # transposed one-hot products via dot_general contracting dim 0 of the
@@ -119,7 +145,8 @@ def _kernel(
     _TDOT = (((0,), (0,)), ((), ()))
 
     def tdot(onehot, rhs):
-        return jax.lax.dot_general(onehot, rhs, _TDOT, preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(onehot, rhs, _TDOT, preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     wa_f = writea_ref[:, :]
     wb_f = writeb_ref[:, :]
@@ -130,6 +157,102 @@ def _kernel(
         new_rows = tdot(oa_ref[:, :], out_a * ua) + tdot(ob_ref[:, :], out_b * ub)
         written = tdot(oa_ref[:, :], ua) + tdot(ob_ref[:, :], ub)  # [B,1] in {0,1}
         return bs + written * (new_rows - bs)
+
+    # --- joints (soft mode: TGS_Soft / SoftStep / PGS_Soft all solve soft
+    # revolute + mouse joints; solve order inside the substep mirrors
+    # src/solve_tgs_soft.c:207-231 — joints before contacts) ---
+    jf = jcons_f_ref[:, :]
+    jflags = jflags_ref[:, :]
+    j_is_mouse = jflags[:, 0] > 0.0
+    j_active = jflags[:, 1] > 0.0
+    jcons = jk.JointCons(
+        ia=ja, ib=jb, is_mouse=j_is_mouse, active=j_active,
+        inv_mass_a=jf[:, 0], inv_i_a=jf[:, 1], inv_mass_b=jf[:, 2], inv_i_b=jf[:, 3],
+        local_anchor_a=jf[:, 4:6], local_anchor_b=jf[:, 6:8],
+        center_diff0=jf[:, 8:10], axial_mass=jf[:, 10],
+        pm11=jf[:, 11], pm12=jf[:, 12], pm22=jf[:, 13],
+        bias_coef=jf[:, 14], mass_coef=jf[:, 15], imp_coef=jf[:, 16],
+        reference_angle=jf[:, 17], lower_angle=jf[:, 18], upper_angle=jf[:, 19],
+        enable_limit=jflags[:, 2] > 0.0, enable_motor=jflags[:, 3] > 0.0,
+        motor_speed=jf[:, 20], max_motor_torque=jf[:, 21],
+        inertia_b=jf[:, 22], target=jf[:, 8:10],
+    )
+    jcolor = jcolor_ref[:, 0]
+    jwa_f = jwritea_ref[:, :]
+    jwb_f = jwriteb_ref[:, :]
+
+    def jgather_rows(bs):
+        rows_a = jnp.dot(joa_ref[:, :], bs, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        rows_b = jnp.dot(job_ref[:, :], bs, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return rows_a, rows_b
+
+    def jcolor_apply(bs, out_a, out_b, updf):
+        ua = updf * jwa_f
+        ub = updf * jwb_f
+        new_rows = tdot(joa_ref[:, :], out_a * ua) + tdot(job_ref[:, :], out_b * ub)
+        written = tdot(joa_ref[:, :], ua) + tdot(job_ref[:, :], ub)
+        return bs + written * (new_rows - bs)
+
+    jwinner = jwinner_ref[:, 0] > 0.0
+
+    def joint_color_loop(bs, jimp5, use_bias, solve_mouse):
+        def body(k, carry):
+            bs, jimp5 = carry
+            rows_a, rows_b = jgather_rows(bs)
+            vA, wA, dcA, qA = unpack_rows(rows_a)
+            vB, wB, dcB, qB = unpack_rows(rows_b)
+            imp = jk.JointImp(impulse=jimp5[:, 0:2], motor=jimp5[:, 2],
+                              lower=jimp5[:, 3], upper=jimp5[:, 4])
+            vA2, wA2, vB2, wB2, new_imp, imp2, scope = jk.solve_joint_core(
+                jcons, vA, wA, vB, wB, qA, qB, dcA, dcB, imp, "soft",
+                h, inv_h, use_bias, solve_mouse,
+            )
+            updf = ((jcolor == k) & scope & jwinner).astype(jnp.float32)[:, None]
+            out_a = pack_rows(vA2, wA2, dcA, qA)
+            out_b = pack_rows(vB2, wB2, dcB, qB)
+            bs = jcolor_apply(bs, out_a, out_b, updf)
+            new5 = jnp.concatenate(
+                [new_imp, imp2.motor[:, None], imp2.lower[:, None], imp2.upper[:, None]],
+                axis=-1,
+            )
+            jimp5 = jimp5 + updf * (new5 - jimp5)
+            return (bs, jimp5)
+
+        return jax.lax.fori_loop(0, n_joint_colors, body, (bs, jimp5))
+
+    def jwarm(bs, jimp5):
+        # joint warm start (revolute_joint.c:107-150, mouse_joint.c:85-107):
+        # additive velocity deltas, applied as one transposed-product
+        # scatter-add over all joints (order-free sum, like contact warm)
+        from ..ops import math2d as m
+
+        rows_a, rows_b = jgather_rows(bs)
+        _, _, _, qA = unpack_rows(rows_a)
+        _, _, _, qB = unpack_rows(rows_b)
+        rA = m.rotate(qA, jcons.local_anchor_a)
+        rB = m.rotate(qB, jcons.local_anchor_b)
+        P = jimp5[:, 0:2]
+        axial = jimp5[:, 2] + jimp5[:, 3] - jimp5[:, 4]
+        axial = jnp.where(j_is_mouse, jimp5[:, 2], axial)
+        # XLA applies warm start through the colored slot table: only active,
+        # colored, winning joints reach a body (solvers/joints.py:warm_start_pass)
+        act = jflags[:, 1:2] * jwinner_ref[:, :] * (jcolor_ref[:, :] >= 0).astype(jnp.float32)
+        zc = jnp.zeros((J, 2), jnp.float32)
+        z1 = jnp.zeros((J, 1), jnp.float32)
+        dA = jnp.concatenate(
+            [-jcons.inv_mass_a[:, None] * P,
+             (-jcons.inv_i_a * (m.cross(rA, P) + axial))[:, None], zc, zc, z1],
+            axis=-1,
+        ) * act
+        dB = jnp.concatenate(
+            [jcons.inv_mass_b[:, None] * P,
+             (jcons.inv_i_b * (m.cross(rB, P) + axial))[:, None], zc, zc, z1],
+            axis=-1,
+        ) * act
+        delta = tdot(joa_ref[:, :], dA * jwa_f) + tdot(job_ref[:, :], dB * jwb_f)
+        return bs + delta
 
     def contact_color_loop(bs, n_imp, t_imp, use_bias):
         def body(k, carry):
@@ -207,45 +330,81 @@ def _kernel(
     bs0 = bs_ref[:, :]
     n0 = n_imp0_ref[:, :]
     t0 = t_imp0_ref[:, :]
+    j0 = jimp0_ref[:, :]
 
     if loop == "substep":
-        # TGS_Soft / SoftStep substep loop (solve_tgs_soft.c:208-269)
+        # TGS_Soft / SoftStep substep loop (solve_tgs_soft.c:208-269):
+        # joints solve before contacts inside every phase
         def substep(_, carry):
-            bs, n_imp, t_imp = carry
+            bs, n_imp, t_imp, jimp5 = carry
             bs = integrate_velocities(bs)
             if warm_start:
+                bs = jwarm(bs, jimp5)
                 bs = warm(bs, n_imp, t_imp)
+            bs, jimp5 = joint_color_loop(bs, jimp5, True, True)
             bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, True)
             bs = integrate_positions(bs)
             if relax:
+                bs, jimp5 = joint_color_loop(bs, jimp5, False, False)
                 bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, False)
-            return (bs, n_imp, t_imp)
+            return (bs, n_imp, t_imp, jimp5)
 
-        bs, n_imp, t_imp = jax.lax.fori_loop(0, substeps, substep, (bs0, n0, t0))
+        bs, n_imp, t_imp, jimp5 = jax.lax.fori_loop(
+            0, substeps, substep, (bs0, n0, t0, j0))
     else:
         # PGS_Soft single-step loop (solve_pgs_soft.c:127-242): integrate and
         # warm start once, `substeps` biased velocity iterations, one position
         # integrate, `relax_iters` relax iterations
         bs = integrate_velocities(bs0)
         if warm_start:
+            # PGS_Soft warms contacts before joints (solve_pgs_soft.c /
+            # loops.py:solve_pgs_soft), the reverse of the substep loop
             bs = warm(bs, n0, t0)
+            bs = jwarm(bs, j0)
 
         def vel_iter(_, carry):
-            bs, n_imp, t_imp = carry
-            return contact_color_loop(bs, n_imp, t_imp, True)
+            bs, n_imp, t_imp, jimp5 = carry
+            bs, jimp5 = joint_color_loop(bs, jimp5, True, True)
+            bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, True)
+            return (bs, n_imp, t_imp, jimp5)
 
-        bs, n_imp, t_imp = jax.lax.fori_loop(0, substeps, vel_iter, (bs, n0, t0))
+        bs, n_imp, t_imp, jimp5 = jax.lax.fori_loop(0, substeps, vel_iter, (bs, n0, t0, j0))
         bs = integrate_positions(bs)
 
         def relax_iter(_, carry):
-            bs, n_imp, t_imp = carry
-            return contact_color_loop(bs, n_imp, t_imp, False)
+            bs, n_imp, t_imp, jimp5 = carry
+            bs, jimp5 = joint_color_loop(bs, jimp5, False, False)
+            bs, n_imp, t_imp = contact_color_loop(bs, n_imp, t_imp, False)
+            return (bs, n_imp, t_imp, jimp5)
 
-        bs, n_imp, t_imp = jax.lax.fori_loop(0, relax_iters, relax_iter, (bs, n_imp, t_imp))
+        bs, n_imp, t_imp, jimp5 = jax.lax.fori_loop(
+            0, relax_iters, relax_iter, (bs, n_imp, t_imp, jimp5))
 
     bs_out_ref[:, :] = bs
     n_out_ref[:, :] = n_imp
     t_out_ref[:, :] = t_imp
+    jimp_out_ref[:, :] = jimp5
+
+
+def pack_joint_fields(jcons: jk.JointCons):
+    """Flatten per-joint f32 fields into one [J, 23] matrix (column order
+    must match the kernel's unpack) plus a [J, 4] flag matrix."""
+    jc = lambda x: x[:, None]
+    cols = [
+        jc(jcons.inv_mass_a), jc(jcons.inv_i_a), jc(jcons.inv_mass_b), jc(jcons.inv_i_b),
+        jcons.local_anchor_a, jcons.local_anchor_b, jcons.center_diff0,
+        jc(jcons.axial_mass), jc(jcons.pm11), jc(jcons.pm12), jc(jcons.pm22),
+        jc(jcons.bias_coef), jc(jcons.mass_coef), jc(jcons.imp_coef),
+        jc(jcons.reference_angle), jc(jcons.lower_angle), jc(jcons.upper_angle),
+        jc(jcons.motor_speed), jc(jcons.max_motor_torque), jc(jcons.inertia_b),
+    ]
+    flags = [
+        jc(jcons.is_mouse), jc(jcons.active), jc(jcons.enable_limit), jc(jcons.enable_motor),
+    ]
+    return (
+        jnp.concatenate(cols, axis=-1),
+        jnp.concatenate([f.astype(jnp.float32) for f in flags], axis=-1),
+    )
 
 
 def pack_cons_fields(cons: ContactCons):
@@ -266,14 +425,19 @@ def pack_cons_fields(cons: ContactCons):
     return jnp.concatenate(cols, axis=-1)
 
 
-def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
-                  ccolor, cmap, h, inv_h, cfg: SimConfig, interpret=False,
-                  mode=ck.TGS_SOFT, loop="substep", fixed_warm=False, relax_iters=0):
-    """Run a fused solver loop for one world. Returns (bs, n_imp, t_imp).
+def fused_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
+                ccolor, cmap, h, inv_h, cfg: SimConfig,
+                jcons: jk.JointCons, jimp0: jk.JointImp, jcolor, jmap,
+                interpret=False,
+                mode=ck.TGS_SOFT, loop="substep", fixed_warm=False, relax_iters=0):
+    """Run a fused solver loop for one world. Returns (bs, n_imp, t_imp, jimp).
 
     loop='substep' reproduces TGS_Soft (mode=TGS_SOFT, rotating warm anchors)
     and SoftStep (mode=SOFT_STEP, fixed_warm=True); loop='pgs' reproduces
-    PGS_Soft (mode=PGS_SOFT): vel iterations + relax_iters relax passes."""
+    PGS_Soft (mode=PGS_SOFT): vel iterations + relax_iters relax passes.
+    Joints (soft revolute + mouse) are always fused — a contact-only scene
+    pays one [J=max_joints, B] pass per joint color, negligible for the
+    default J=8 capacity."""
     B = cfg.max_bodies
     C = cfg.max_contacts
 
@@ -284,8 +448,11 @@ def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
     damp_lin = (1.0 / (1.0 + h * bodies.linear_damping))[:, None]
     damp_ang = (1.0 / (1.0 + h * bodies.angular_damping))[:, None]
 
+    J = cfg.max_joints
+
     kernel = partial(
-        _kernel, B=B, C=C, n_colors=cfg.max_colors, substeps=cfg.iterations,
+        _kernel, B=B, C=C, n_colors=cfg.max_colors,
+        n_joint_colors=cfg.joint_max_colors, substeps=cfg.iterations,
         relax=cfg.extra_iterations > 0, warm_start=cfg.warm_start, mode=mode,
         loop=loop, relax_iters=relax_iters, fixed_warm=fixed_warm,
     )
@@ -298,19 +465,29 @@ def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
     dyn_b = (bodies.type == 2) & bodies.alive
     writea = tgather(dyn_b, cons.ia).astype(jnp.float32)[:, None]
     writeb = tgather(dyn_b, cons.ib).astype(jnp.float32)[:, None]
+    jwritea = tgather(dyn_b, jcons.ia).astype(jnp.float32)[:, None]
+    jwriteb = tgather(dyn_b, jcons.ib).astype(jnp.float32)[:, None]
+    jcons_f, jflags = pack_joint_fields(jcons)
+    jimp0_packed = jnp.concatenate(
+        [jimp0.impulse, jimp0.motor[:, None], jimp0.lower[:, None], jimp0.upper[:, None]],
+        axis=-1,
+    )
 
-    out = pl.pallas_call(
+    bs, n_imp, t_imp, jimp5 = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B, 8), jnp.float32),
             jax.ShapeDtypeStruct((C, 2), jnp.float32),
             jax.ShapeDtypeStruct((C, 2), jnp.float32),
+            jax.ShapeDtypeStruct((J, 5), jnp.float32),
         ),
-        in_specs=[smem(), smem()] + [vmem()] * 20,
-        out_specs=(vmem(), vmem(), vmem()),
+        in_specs=[smem(), smem()] + [vmem()] * 29,
+        out_specs=(vmem(), vmem(), vmem(), vmem()),
         scratch_shapes=[
             pltpu.VMEM((C, B), jnp.float32),
             pltpu.VMEM((C, B), jnp.float32),
+            pltpu.VMEM((J, B), jnp.float32),
+            pltpu.VMEM((J, B), jnp.float32),
         ],
         # the default 16 MiB scoped-VMEM budget is conservative (v5e has
         # 128 MiB physical): the compiler's scoped allocation includes its
@@ -332,10 +509,13 @@ def contact_solve(bodies, bs0, n_imp0, t_imp0, cons: ContactCons, gravity,
         writea, writeb,
         cmap.winner.astype(jnp.float32)[:, None],
         n_imp0, t_imp0,
+        jcons.ia[:, None], jcons.ib[:, None],
+        jcons_f, jflags,
+        jcolor[:, None],
+        jwritea, jwriteb,
+        jmap.winner.astype(jnp.float32)[:, None],
+        jimp0_packed,
     )
-    return out
-
-
-def tgs_soft_contact_solve(*args, **kwargs):
-    """Back-compat alias: the TGS_Soft configuration of `contact_solve`."""
-    return contact_solve(*args, **kwargs, mode=ck.TGS_SOFT, loop="substep")
+    jimp = jk.JointImp(impulse=jimp5[:, 0:2], motor=jimp5[:, 2],
+                       lower=jimp5[:, 3], upper=jimp5[:, 4])
+    return bs, n_imp, t_imp, jimp

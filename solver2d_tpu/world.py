@@ -405,14 +405,14 @@ class World:
         if self.defer_mass:
             self._batch_compute_mass()
         if config.use_pallas_solver:
-            assert not self.joints, "use_pallas_solver supports contact-only scenes"
             # scoped-VMEM gate: the compiler's scoped allocation includes
             # Mosaic matmul transpose buffers and loop temporaries, ~6x our
-            # two persistent [C,B] matrices (bench scene 216x896 = 193K needs
-            # 23.57 MiB scoped — exp/pallas_vmem_probe.py). pallas_solver.py
-            # raises vmem_limit_bytes to 100 MiB (v5e has 128 MiB physical),
-            # which admits B*C up to ~2^18 with headroom for the rest.
-            assert config.max_bodies * config.max_contacts <= (1 << 18), (
+            # persistent [C,B]/[J,B] matrices (bench scene 216x896 = 193K
+            # needs 23.57 MiB scoped — exp/pallas_vmem_probe.py).
+            # pallas_solver.py raises vmem_limit_bytes to 100 MiB (v5e has
+            # 128 MiB physical), which admits B*(C+J) up to ~2^18 with
+            # headroom for the rest.
+            assert config.max_bodies * (config.max_contacts + config.max_joints) <= (1 << 18), (
                 "use_pallas_solver: incidence matrices exceed VMEM; reduce capacities"
             )
             from .config import SolverType as _ST

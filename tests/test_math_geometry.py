@@ -111,3 +111,21 @@ def test_hull():
         j = (i + 1) % len(h)
         area += h[i][0] * h[j][1] - h[j][0] * h[i][1]
     assert area > 0
+
+
+def test_atan2_polynomial_matches_libm():
+    """m.atan2 is the Mosaic-safe polynomial atan2 used by the joint limit
+    solve inside the fused Pallas kernel (Mosaic has no atan2 lowering);
+    accuracy vs libm over all quadrants, axes, and extreme ratios."""
+    rng = np.random.default_rng(7)
+    y = np.concatenate([
+        rng.standard_normal(4096) * np.exp(rng.standard_normal(4096) * 6),
+        np.array([0.0, -0.0, 1.0, -1.0, 0.0, 0.0, 1e-30, -1e-30, 3e5]),
+    ]).astype(np.float32)
+    x = np.concatenate([
+        rng.standard_normal(4096) * np.exp(rng.standard_normal(4096) * 6),
+        np.array([1.0, 1.0, 0.0, 0.0, -1.0, 0.0, -1.0, -1.0, -2e-3]),
+    ]).astype(np.float32)
+    got = np.asarray(m.atan2(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y.astype(np.float64), x.astype(np.float64))
+    np.testing.assert_allclose(got, want, atol=5e-7)

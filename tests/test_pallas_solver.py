@@ -65,10 +65,16 @@ def test_kernel_matches_xla_solver(settled):
     inv_h = cfg.iterations / dt
     hertz = min(CONTACT_HERTZ, 0.25 * inv_h)
     cons, n0, t0 = prepare_contacts(bodies, contacts, h=h, hertz=hertz, soft=True, warm_start=cfg.warm_start)
+    from solver2d_tpu.config import JOINT_HERTZ
+    from solver2d_tpu.solvers import joints as jk
+
+    jhertz = min(JOINT_HERTZ, 0.125 * inv_h)
+    jcons, jimp0 = jk.prepare_joints(bodies, joints, h=h, hertz=jhertz, soft=True, warm_start=True)
     bs0 = pack_body_state(bodies.v, bodies.w, bodies.delta_pos, bodies.rot)
-    bs, n_imp, t_imp = pallas_solver.tgs_soft_contact_solve(
+    bs, n_imp, t_imp, _ = pallas_solver.fused_solve(
         bodies, bs0, n0, t0, cons, state.gravity, ccolor, cmap,
-        jnp.float32(h), jnp.float32(inv_h), cfg, interpret=True,
+        jnp.float32(h), jnp.float32(inv_h), cfg,
+        jcons, jimp0, jcolor, jmap, interpret=True,
     )
     v, w, dp, rot = unpack_body_state(bs)
     out_bodies = finalize_positions(bodies, dp, rot, v, w)
@@ -101,3 +107,32 @@ def test_step_with_pallas_flag(solver):
         np.asarray(state_p.bodies.position), np.asarray(state_x.bodies.position), atol=5e-3
     )
     assert float(state_p.diag.max_penetration) < 0.02
+
+
+@pytest.mark.parametrize("solver", [SolverType.TGS_SOFT, SolverType.PGS_SOFT])
+def test_step_with_pallas_flag_joints(solver):
+    """The fused kernel's joint pass (revolute chain under gravity, motors +
+    limits in the Ragdoll variant are covered by the scene catalog) must track
+    the XLA path's joint solve (solve order: joints before contacts per
+    substep, reference src/solve_tgs_soft.c:207-231). 6 steps: interpret
+    mode executes the kernel op-by-op on CPU, ~minutes per step on the
+    1-core box — enough for the chain to load and the impulses to settle."""
+    from solver2d_tpu.models import build
+
+    state_x, cfg_x = build("Joints", "Stretched Chain", solver).freeze(max_colors=4)
+    state_p, cfg_p = build("Joints", "Stretched Chain", solver).freeze(
+        max_colors=4, use_pallas_solver=True
+    )
+
+    fx = jax.jit(lambda s: step_fn(s, 1.0 / 60.0, cfg_x))
+    fp = jax.jit(lambda s: step_fn(s, 1.0 / 60.0, cfg_p))
+    for _ in range(6):
+        state_x = fx(state_x)
+        state_p = fp(state_p)
+    assert np.isfinite(np.asarray(state_p.bodies.position)).all()
+    np.testing.assert_allclose(
+        np.asarray(state_p.bodies.position), np.asarray(state_x.bodies.position), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_p.joints.impulse), np.asarray(state_x.joints.impulse), atol=5e-2
+    )
