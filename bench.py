@@ -48,7 +48,9 @@ def main():
 
     vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
 
-    @jax.jit
+    # donate the input batch: without donation two full batch copies coexist
+    # across the call boundary — at north-star scale that is gigabytes
+    @partial(jax.jit, donate_argnums=0)
     def run_block(b):
         def body(s, _):
             return vstep(s, jnp.float32(1.0 / 60.0)), None

@@ -1,7 +1,8 @@
 #!/bin/bash
 # Sequential on-chip experiment batch (one tunnel compile per question).
-# Usage: bash exp/chip_batch.sh [stage ...]   (default: all stages in order)
-# Stages: probe variants bf16 pyramid100 jointgrid northstar
+# Usage: bash exp/chip_batch.sh [stage ...]
+# Stages: probe variants lanespallas jointpallas bf16 pyramid100 jointgrid northstar
+# Default (no args): jointpallas lanespallas pyramid100 northstar
 # Output: appends to exp/chip_batch.log with timestamps.
 set -u
 cd "$(dirname "$0")/.."

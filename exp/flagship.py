@@ -38,7 +38,9 @@ def timeblock(name, state, cfg, worlds=1, steps=STEPS):
     else:
         f = partial(step, config=cfg)
 
-    @jax.jit
+    # donated input: without this two full batch copies coexist across the
+    # call boundary (gigabytes at north-star scale)
+    @partial(jax.jit, donate_argnums=0)
     def run(b):
         out, _ = jax.lax.scan(lambda s, _: (f(s, jnp.float32(1 / 60)), None), b, None, length=steps)
         return out

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Full-suite run for the per-round TESTLOG artifact (VERDICT r3 #6).
+# Per-file invocations so one hang can't eat the whole run; fast files first
+# so regressions surface early. Appends one summary line per file plus a
+# final tally to TESTLOG_rN.txt.
+# Usage: bash exp/run_suite.sh [round]   (default: 04)
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+ROUND="${1:-04}"
+OUT="TESTLOG_r${ROUND}.txt"
+
+echo "# Test log round ${ROUND} — $(date -u +%Y-%m-%dT%H:%M:%SZ)" > "$OUT"
+echo "# git $(git rev-parse --short HEAD 2>/dev/null) ($(git status --porcelain | wc -l) dirty files)" >> "$OUT"
+
+# fast unit files first, behavior/oracle files last
+FILES="test_math_geometry.py test_gather.py test_handles.py test_coloring.py \
+test_broadphase.py test_gjk.py test_manifold.py test_narrow_lanes.py \
+test_native.py test_queries.py test_aux.py test_dryrun.py test_color_overflow.py \
+test_scenes.py test_pallas_solver.py test_behavior.py test_solvers.py \
+test_large_scenes.py"
+
+fail=0
+for f in $FILES; do
+  [ -e "tests/$f" ] || continue
+  t0=$(date +%s)
+  timeout 14400 python -m pytest "tests/$f" -q > /tmp/suite_one.log 2>&1
+  rc=$?
+  dt=$(( $(date +%s) - t0 ))
+  echo "tests/$f: $(tail -1 /tmp/suite_one.log)  [${dt}s rc=$rc]" >> "$OUT"
+  [ $rc -ne 0 ] && fail=1
+done
+echo "# done $(date -u +%Y-%m-%dT%H:%M:%SZ) overall_fail=$fail" >> "$OUT"
+exit $fail

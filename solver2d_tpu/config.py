@@ -118,9 +118,10 @@ class SimConfig:
     # ops/manifold.py operation-for-operation).
     narrowphase: str = "xla"
 
-    # Fused Pallas solver: run the entire TGS_Soft substep loop in one VMEM-
-    # resident TPU kernel (solvers/pallas_solver.py). Only valid for scenes
-    # without joints. VMEM gate: the compiler's scoped allocation is ~6x our
+    # Fused Pallas solver: run the entire TGS_Soft/SoftStep/PGS_Soft substep
+    # loop — including soft revolute + mouse joints — in one VMEM-resident
+    # TPU kernel (solvers/pallas_solver.py). VMEM gate: the compiler's
+    # scoped allocation is ~6x our
     # two persistent [C,B] incidence matrices (Mosaic matmul transpose
     # buffers + loop temporaries; measured 23.57 MiB at B*C=193K,
     # exp/pallas_vmem_probe.py), so pallas_solver.py raises vmem_limit_bytes

@@ -182,16 +182,26 @@ def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type
     def flat2(x):
         return x.reshape(Cn, -1).astype(jnp.float32) if x.dtype == jnp.float32 else _i2f(x.reshape(Cn, -1))
 
+    # the sticky friction quartet is zero-width for every solver but
+    # TGS_Sticky (state.py:Contacts) — 16 of 48 carry lanes saved otherwise
+    sticky = old.friction_normal_a.shape[0] == Cn
     lanes = [
         old.normal, old.anchor_a, old.anchor_b, old.separation,
         old.normal_impulse, old.tangent_impulse,
-        old.friction_normal_a, old.friction_normal_b,
-        old.friction_anchor_a, old.friction_anchor_b,
+    ]
+    if sticky:
+        lanes += [
+            old.friction_normal_a, old.friction_normal_b,
+            old.friction_anchor_a, old.friction_anchor_b,
+        ]
+    lanes += [
         old.point_id, old.point_count, old.cache_count,
         old.cache_index_a, old.cache_index_b,
-        old.persisted, old.friction_persisted,
-        old.color, old_key, old.alive,
+        old.persisted,
     ]
+    if sticky:
+        lanes += [old.friction_persisted]
+    lanes += [old.color, old_key, old.alive]
     packed = jnp.concatenate([flat2(x) for x in lanes], axis=-1)
     rows = tgather(packed, pos)
 
@@ -201,8 +211,14 @@ def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type
         n = int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
         offs.append((o, o + n))
         o += n
-    (L_NORMAL, L_AA, L_AB, L_SEP, L_NI, L_TI, L_FNA, L_FNB, L_FAA, L_FAB,
-     L_PID, L_PC, L_CC, L_CIA, L_CIB, L_PERS, L_FP, L_COLOR, L_KEY, L_ALIVE) = offs
+    it = iter(offs)
+    L_NORMAL, L_AA, L_AB, L_SEP, L_NI, L_TI = (next(it) for _ in range(6))
+    if sticky:
+        L_FNA, L_FNB, L_FAA, L_FAB = (next(it) for _ in range(4))
+    L_PID, L_PC, L_CC, L_CIA, L_CIB, L_PERS = (next(it) for _ in range(6))
+    if sticky:
+        L_FP = next(it)
+    L_COLOR, L_KEY, L_ALIVE = (next(it) for _ in range(3))
 
     def fpart(span, shape=None):
         v = rows[:, span[0]:span[1]]
@@ -247,11 +263,11 @@ def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type
         point_id=keep(ipart(L_PID), 0),
         persisted=keep(ipart(L_PERS) != 0, False),
         point_count=keep(ipart(L_PC)[:, 0], 0),
-        friction_normal_a=keep(fpart(L_FNA, (2, 2)), 0.0),
-        friction_normal_b=keep(fpart(L_FNB, (2, 2)), 0.0),
-        friction_anchor_a=keep(fpart(L_FAA, (2, 2)), 0.0),
-        friction_anchor_b=keep(fpart(L_FAB, (2, 2)), 0.0),
-        friction_persisted=keep(ipart(L_FP)[:, 0] != 0, False),
+        friction_normal_a=keep(fpart(L_FNA, (2, 2)), 0.0) if sticky else old.friction_normal_a,
+        friction_normal_b=keep(fpart(L_FNB, (2, 2)), 0.0) if sticky else old.friction_normal_b,
+        friction_anchor_a=keep(fpart(L_FAA, (2, 2)), 0.0) if sticky else old.friction_anchor_a,
+        friction_anchor_b=keep(fpart(L_FAB, (2, 2)), 0.0) if sticky else old.friction_anchor_b,
+        friction_persisted=keep(ipart(L_FP)[:, 0] != 0, False) if sticky else old.friction_persisted,
         cache_count=keep(ipart(L_CC)[:, 0], 0),
         cache_index_a=keep(ipart(L_CIA), 0),
         cache_index_b=keep(ipart(L_CIB), 0),
@@ -277,9 +293,9 @@ def jointed_body_keys(joints, config: SimConfig) -> jnp.ndarray:
 #
 # lanes: [0:4] fat aabb | 4 body (i32) | 5 group (i32) | 6 mask (i32)
 #        | 7 category (i32) | 8 flags (i32: 1=alive, 2=dynamic-body, 4=small)
-#        | 9 pad
+#        | 9 extra (grid: cell hash as exact f32; sap: 0)
 
-_F_BODY, _F_GROUP, _F_MASK, _F_CAT, _F_FLAGS = 4, 5, 6, 7, 8
+_F_BODY, _F_GROUP, _F_MASK, _F_CAT, _F_FLAGS, _F_EXTRA = 4, 5, 6, 7, 8, 9
 _FL_ALIVE, _FL_DYN, _FL_SMALL = 1, 2, 4
 
 
@@ -306,13 +322,20 @@ def _f2i(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32) - _I2F_BIAS
 
 
-def _pack_shape_rows(shapes: Shapes, body_type: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
+def _pack_shape_rows(
+    shapes: Shapes, body_type: jnp.ndarray, small: jnp.ndarray, extra: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """extra: optional f32 [S] payload for lane 9 (must be exactly
+    representable — the grid packs its 23-bit cell hash via astype, which is
+    FTZ-safe unlike a raw bitcast; see _I2F_BIAS)."""
     dyn = tgather(body_type, shapes.body) == 2
     flags = (
         shapes.alive.astype(jnp.int32) * _FL_ALIVE
         + dyn.astype(jnp.int32) * _FL_DYN
         + small.astype(jnp.int32) * _FL_SMALL
     )
+    if extra is None:
+        extra = jnp.zeros((shapes.fat_aabb.shape[0],), jnp.float32)
     return jnp.concatenate(
         [
             shapes.fat_aabb,
@@ -321,7 +344,7 @@ def _pack_shape_rows(shapes: Shapes, body_type: jnp.ndarray, small: jnp.ndarray)
             _i2f(shapes.filter_mask)[:, None],
             _i2f(shapes.filter_category)[:, None],
             _i2f(flags)[:, None],
-            jnp.zeros((shapes.fat_aabb.shape[0], 1), jnp.float32),
+            extra[:, None],
         ],
         axis=-1,
     )
@@ -362,21 +385,29 @@ def _pair_rules(rows_a, rows_b, jointed_keys, max_bodies: int):
 # --------------------------------------------------------- hashed uniform grid
 
 def _cell_hash(cx, cy):
-    """Spatial hash of integer cell coords. Collisions are harmless: they only
-    merge far-apart cells into one bucket, adding candidates that the AABB
-    test rejects — pairs are never missed because neighbors are looked up by
-    hashing the neighbor's own coords."""
+    """Spatial hash of integer cell coords, masked to 23 bits so the value is
+    exactly representable as f32 (astype transport in the packed rows —
+    FTZ-safe, unlike a raw bitcast whose denormal patterns the TPU zeroes;
+    see _I2F_BIAS). Collisions are harmless: they only merge far-apart cells
+    into one bucket, adding candidates that the AABB test rejects — pairs are
+    never missed because neighbors are looked up by hashing the neighbor's
+    own coords (duplicate keys from a collision are dropped after
+    compaction). At ~8k shapes and 2^23 buckets the expected extra-candidate
+    load from masking is << 1 per scene."""
     h = cx * jnp.int32(-1640531527) + cy * jnp.int32(97143011)
     h = h ^ (h >> 13)
-    return h
+    return h & jnp.int32(0x7FFFFF)
 
 
 def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.ndarray, config: SimConfig) -> PairResult:
     """Uniform-grid pair finding: shapes bin by fat-AABB center into
     `config.grid_cell`-sized cells (sorted by cell hash); each shape tests the
-    <= cell_capacity occupants of its 3x3 neighborhood. Shapes larger than a
-    cell ("big": grounds, ramps, arena walls, giant boxes) live in a separate
-    list of capacity max_big_shapes and are tested against everything.
+    <= cell_capacity occupants of the HALF neighborhood {self, E, NW, N, NE}
+    (each unordered cell pair has exactly one of its two direction vectors in
+    that set, so every pair is enumerated once, not twice). Shapes larger
+    than a cell ("big": grounds, ramps, arena walls, giant boxes) live in a
+    separate list of capacity max_big_shapes and are tested against
+    everything.
 
     Scales to dense stacked scenes (pyramids) where sweep-and-prune windows
     blow up: a pyramid column overlaps O(base) shapes in x but only O(1) per
@@ -400,29 +431,40 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     order = jnp.argsort(hashes)          # small shapes sorted by cell hash
     sorted_hash = tgather(hashes, order)
 
-    # per-shape candidate lists from the 3x3 neighborhood; all nine
-    # rank-position lookups fold into ONE row-gather at the end
-    neighbor_offsets = [(-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+    # HALF neighborhood: each unordered pair of distinct cells has exactly
+    # one of its two direction vectors in {E, NW, N, NE}, so looking up only
+    # these four neighbors (plus the own cell with an a<b tie-break) visits
+    # every pair once instead of twice — 5M instead of 9M candidate columns
+    # in the big packed gather below, and one [5S] sorted-search instead of
+    # two [9S] ones.
+    neighbor_offsets = [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+    NO = len(neighbor_offsets)
     overflow = jnp.zeros((), bool)
     lanes = jnp.arange(M)
-    nh_all = jnp.stack([_cell_hash(cx + dx, cy + dy) for dx, dy in neighbor_offsets])  # [9,S]
+    nh_all = jnp.stack([_cell_hash(cx + dx, cy + dy) for dx, dy in neighbor_offsets])  # [NO,S]
     if S <= 1024:
-        # compare-count searchsorted: [9,S,S] elementwise is cheap at small S
-        # (scan-mode binary search is gather-bound under vmap)
-        lo = (sorted_hash[None, None, :] < nh_all[:, :, None]).sum(-1)   # [9,S]
-        hi = (sorted_hash[None, None, :] <= nh_all[:, :, None]).sum(-1)
+        # compare-count searchsorted: [NO,S,S] elementwise is cheap at small
+        # S (scan-mode binary search is gather-bound under vmap)
+        lo = (sorted_hash[None, None, :] < nh_all[:, :, None]).sum(-1)   # [NO,S]
     else:
-        # flagship scenes (Pyramid-100: S ~ 5k): [9,S,S] compare-counts are
-        # O(S^2) each; two sorted-searches over [9S] replace them
-        lo = jnp.searchsorted(sorted_hash, nh_all.reshape(-1), side="left", method="sort").reshape(9, S)
-        hi = jnp.searchsorted(sorted_hash, nh_all.reshape(-1), side="right", method="sort").reshape(9, S)
-    counts = hi - lo                                                     # [9,S]
-    overflow = overflow | jnp.any(small[None, :] & (counts > M))
-    pos = jnp.minimum(lo[:, :, None] + lanes[None, None, :], S - 1)      # [9,S,M]
-    cand_valid = (lanes[None, None, :] < counts[:, :, None]) & small[None, :, None]
+        # flagship scenes (Pyramid-100: S ~ 5k): [NO,S,S] compare-counts are
+        # O(S^2) each; one sorted-search over [NO*S] replaces them
+        lo = jnp.searchsorted(sorted_hash, nh_all.reshape(-1), side="left", method="sort").reshape(NO, S)
+    # candidate validity comes from HASH EQUALITY (the packed rows carry each
+    # shape's cell hash in the extra lane), not from an upper-bound search:
+    # candidate j of lookup (o,s) is real iff its own hash equals the looked-
+    # up neighbor hash. This kills the side="right" search and the counts.
+    cand_rank = lo[:, :, None] + lanes[None, None, :]                    # [NO,S,M]
+    pos = jnp.minimum(cand_rank, S - 1)
+    in_range = cand_rank < S
+    # cell-capacity overflow: the (M+1)-th occupant of some looked-up bucket
+    # still matches the neighbor hash
+    ovf_rank = lo + M
+    ovf_hash = tgather(sorted_hash, jnp.minimum(ovf_rank, S - 1))
+    overflow = overflow | jnp.any(small[None, :] & (ovf_rank < S) & (ovf_hash == nh_all))
 
-    grid_cand = tgather(order, pos.transpose(1, 0, 2).reshape(S, 9 * M))  # [S, 9M]
-    grid_valid = cand_valid.transpose(1, 0, 2).reshape(S, 9 * M)
+    grid_cand = tgather(order, pos.transpose(1, 0, 2).reshape(S, NO * M))  # [S, NO*M]
+    grid_valid = (in_range & small[None, :, None]).transpose(1, 0, 2).reshape(S, NO * M)
 
     # big-shape candidates: indices of big shapes, padded. One flat
     # max-scatter with non-big shapes routed to a sink slot (the old .set
@@ -445,20 +487,31 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     valid = jnp.concatenate([grid_valid, big_cand_valid], axis=1)
 
     # one packed gather supplies every per-candidate field (a-side rows are
-    # the shapes themselves: no gather)
-    packed = _pack_shape_rows(shapes, body_type, small)
+    # the shapes themselves: no gather); the extra lane carries each shape's
+    # 23-bit cell hash (exact as f32) for candidate validation
+    packed = _pack_shape_rows(
+        shapes, body_type, small,
+        extra=jnp.where(small, hashes, -1).astype(jnp.float32),
+    )
     rows_a = packed[:, None, :]                                   # [S,1,10]
-    rows_b = tgather(packed, b_idx)                               # [S,9M+G,10]
+    rows_b = tgather(packed, b_idx)                               # [S,NO*M+G,10]
 
-    # keep each unordered pair once: grid-grid and big-big by a<b; small-a vs
-    # big-b always kept from the small side (a may be > b), so canonicalize
-    # below and drop a==b
-    valid &= a_idx != b_idx
-    small_a = small[:, None]
-    small_b = (_f2i(rows_b[..., _F_FLAGS]) & _FL_SMALL) != 0
-    both_small = small_a & small_b
-    both_big = ~small_a & ~small_b & big[:, None]
-    valid &= jnp.where(both_small | both_big, a_idx < b_idx, small_a)
+    # candidate is real iff its own cell hash equals the looked-up neighbor
+    # hash (dead / big / out-of-bucket slots can't match: their lane is -1)
+    nh_f = jnp.broadcast_to(
+        nh_all.astype(jnp.float32).T[:, :, None], (S, NO, M)
+    ).reshape(S, NO * M)
+    hash_ok = rows_b[:, : NO * M, _F_EXTRA] == nh_f
+    # own-cell block (first M columns): a<b visits each in-cell pair once;
+    # directional blocks already visit each cross-cell pair from one side
+    half_ok = jnp.concatenate(
+        [a_idx[:, :M] < b_idx[:, :M], jnp.ones((S, (NO - 1) * M), bool)], axis=1
+    )
+    # big-b columns: small-a keeps unconditionally (canonicalized below);
+    # big-big dedups by a<b (every alive shape scans the big list, so the
+    # other side sees the pair too); a==b is excluded by a<b
+    big_ok = small[:, None] | (a_idx[:, NO * M :] < b_idx[:, NO * M :])
+    valid &= jnp.concatenate([hash_ok & half_ok, big_ok], axis=1)
 
     rules_ok, _, _ = _pair_rules(rows_a, rows_b, jointed_keys, config.max_bodies)
     valid &= rules_ok
@@ -470,7 +523,7 @@ def find_pairs_grid(shapes: Shapes, body_type: jnp.ndarray, jointed_keys: jnp.nd
     C = config.max_contacts
     flat_key = pair_key.reshape(-1)
     top_key, count = _compact_keys(flat_key, C)
-    # drop duplicates (possible only under a 3x3-neighbor hash collision):
+    # drop duplicates (possible only under a neighbor-cell hash collision):
     # keys are ascending after compaction, so duplicates are adjacent. Re-sort
     # after dropping so the table stays ascending — next step's match_contacts
     # searchsorted requires it (a [C] sort is cheap).

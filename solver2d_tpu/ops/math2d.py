@@ -106,6 +106,12 @@ def atan2(y, x):
     Octant reduction to |z| <= tan(pi/8) followed by the Cephes atanf minimax
     polynomial (~1 ulp on the reduced range; overall error vs libm atan2f
     measured < 3e-7 rad). atan2(0, 0) = 0 like libm with +0 inputs.
+
+    Deliberate deviations from IEEE atan2 (inputs here are unit rotations, so
+    these only matter exactly at the ±pi branch cut): atan2(-0.0, x<0)
+    returns +pi (the y<0 select does not see negative zero; jnp.signbit would
+    fix it but has no Mosaic lowering guarantee, and this fn must stay
+    kernel-safe), and atan2(inf, inf) is NaN via inf/inf.
     """
     ax = jnp.abs(x)
     ay = jnp.abs(y)

@@ -43,8 +43,7 @@ def test_point(state: State, point) -> jnp.ndarray:
     b = shapes.body
     local = m.inv_transform_point(bodies.origin[b], bodies.rot[b], point)
     inside = jax.vmap(point_in_shape)(
-        jnp.broadcast_to(local, (shapes.verts.shape[0], 2)) * 0 + local,
-        shapes.verts, shapes.count, shapes.radius,
+        local, shapes.verts, shapes.count, shapes.radius,
     )
     return inside & shapes.alive
 

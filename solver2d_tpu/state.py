@@ -153,12 +153,17 @@ class Contacts:
     point_id: jnp.ndarray     # i32 [C,2] feature id (reference: manifold.c:14 S2_MAKE_ID)
     persisted: jnp.ndarray    # bool [C,2]
     point_count: jnp.ndarray  # i32 [C] 0..2
-    # TGS_Sticky friction anchor cache (reference: manifold.h:19-46, solve_tgs_sticky.c:87-135)
-    friction_normal_a: jnp.ndarray  # f32 [C,2,2] per-point local normals
+    # TGS_Sticky friction anchor cache (reference: manifold.h:19-46,
+    # solve_tgs_sticky.c:87-135). Only TGS_Sticky reads these, so for every
+    # other solver they are ZERO-WIDTH ([0,2,2] / [0]) — they cost ~31% of
+    # the contact table's HBM and 16 of the 48 lanes in match_contacts'
+    # packed carry gather otherwise. step.py / broadphase.py gate on
+    # friction_normal_a.shape[0] (static under jit).
+    friction_normal_a: jnp.ndarray  # f32 [C,2,2] per-point local normals ([0,2,2] when not sticky)
     friction_normal_b: jnp.ndarray  # f32 [C,2,2]
     friction_anchor_a: jnp.ndarray  # f32 [C,2,2]
     friction_anchor_b: jnp.ndarray  # f32 [C,2,2]
-    friction_persisted: jnp.ndarray # bool [C]
+    friction_persisted: jnp.ndarray # bool [C] ([0] when not sticky)
     # GJK warm-start cache (reference: include/solver2d/distance.h:37-45)
     cache_count: jnp.ndarray   # i32 [C]
     cache_index_a: jnp.ndarray # i32 [C,3]
@@ -167,9 +172,10 @@ class Contacts:
     alive: jnp.ndarray         # bool [C]
 
     @staticmethod
-    def zeros(n: int) -> "Contacts":
+    def zeros(n: int, sticky: bool = True) -> "Contacts":
         f = lambda *s: jnp.zeros(s, jnp.float32)
         i = lambda *s: jnp.zeros(s, jnp.int32)
+        ns = n if sticky else 0
         return Contacts(
             key=jnp.full((n,), np.iinfo(np.int32).max, jnp.int32),
             shape_a=i(n), shape_b=i(n), body_a=i(n), body_b=i(n),
@@ -177,9 +183,9 @@ class Contacts:
             normal=f(n, 2), anchor_a=f(n, 2, 2), anchor_b=f(n, 2, 2),
             separation=f(n, 2), normal_impulse=f(n, 2), tangent_impulse=f(n, 2),
             point_id=i(n, 2), persisted=jnp.zeros((n, 2), bool), point_count=i(n),
-            friction_normal_a=f(n, 2, 2), friction_normal_b=f(n, 2, 2),
-            friction_anchor_a=f(n, 2, 2), friction_anchor_b=f(n, 2, 2),
-            friction_persisted=jnp.zeros((n,), bool),
+            friction_normal_a=f(ns, 2, 2), friction_normal_b=f(ns, 2, 2),
+            friction_anchor_a=f(ns, 2, 2), friction_anchor_b=f(ns, 2, 2),
+            friction_persisted=jnp.zeros((ns,), bool),
             cache_count=i(n), cache_index_a=i(n, 3), cache_index_b=i(n, 3),
             color=jnp.full((n,), -1, jnp.int32),
             alive=jnp.zeros((n,), bool),
@@ -277,10 +283,14 @@ class State:
 
     @staticmethod
     def zeros(config: SimConfig) -> "State":
+        from .config import SolverType
+
         return State(
             bodies=Bodies.zeros(config.max_bodies),
             shapes=Shapes.zeros(config.max_shapes),
-            contacts=Contacts.zeros(config.max_contacts),
+            contacts=Contacts.zeros(
+                config.max_contacts, sticky=config.solver == SolverType.TGS_STICKY
+            ),
             joints=Joints.zeros(config.max_joints),
             gravity=jnp.array([0.0, -10.0], jnp.float32),
             diag=Diagnostics.zeros(),

@@ -127,16 +127,22 @@ def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20, impl
     def take2(old_arr):  # [C,2,2] fields
         return jnp.where(old_j[:, :, None] == 0, old_arr[:, 0:1, :], old_arr[:, 1:2, :])
 
-    fna = jnp.where(matched[..., None], take2(contacts.friction_normal_a), contacts.friction_normal_a)
-    fnb = jnp.where(matched[..., None], take2(contacts.friction_normal_b), contacts.friction_normal_b)
-    faa = jnp.where(matched[..., None], take2(contacts.friction_anchor_a), contacts.friction_anchor_a)
-    fab = jnp.where(matched[..., None], take2(contacts.friction_anchor_b), contacts.friction_anchor_b)
-
-    friction_persisted = (
-        (new_count == contacts.point_count)
-        & (matched | ~new_pmask).all(-1)
-        & alive
-    )
+    # sticky friction anchors are zero-width for every solver but TGS_Sticky
+    # (state.py:Contacts); the shape check is static under jit
+    if contacts.friction_normal_a.shape[0] == C:
+        fna = jnp.where(matched[..., None], take2(contacts.friction_normal_a), contacts.friction_normal_a)
+        fnb = jnp.where(matched[..., None], take2(contacts.friction_normal_b), contacts.friction_normal_b)
+        faa = jnp.where(matched[..., None], take2(contacts.friction_anchor_a), contacts.friction_anchor_a)
+        fab = jnp.where(matched[..., None], take2(contacts.friction_anchor_b), contacts.friction_anchor_b)
+        friction_persisted = (
+            (new_count == contacts.point_count)
+            & (matched | ~new_pmask).all(-1)
+            & alive
+        )
+    else:
+        fna, fnb = contacts.friction_normal_a, contacts.friction_normal_b
+        faa, fab = contacts.friction_anchor_a, contacts.friction_anchor_b
+        friction_persisted = contacts.friction_persisted
 
     return dataclasses.replace(
         contacts,

@@ -79,12 +79,15 @@ def run_scene(
 
     if verbose:
         print(f"=== {category}/{name} after {steps} steps (dt={dt:.5f}) ===")
-        print(f"{'solver':15s} {'ms/step':>8s} {'bodies':>7s} {'contacts':>8s} {'pen(max)':>9s} {'KE':>12s} {'overflow':>8s}")
+        print(f"{'solver':15s} {'ms/step':>8s} {'bodies':>7s} {'contacts':>8s} {'pen(max)':>9s} {'KE':>12s} {'overflow':>8s} {'cap-use':>8s}")
         for solver, r in runs.items():
             st = statistics(r["state"])
+            # capacity headroom: peak utilization across the fixed tables
+            # (reference's proxy-count / high-water analog, timer.h:8-17)
+            cap = max(st.utilization.values())
             print(
                 f"{solver.name:15s} {r['ms']/steps:8.2f} {st.body_count:7d} {st.contact_count:8d}"
-                f" {st.max_penetration:9.4f} {st.kinetic_energy:12.3f} {st.color_overflow:8d}"
+                f" {st.max_penetration:9.4f} {st.kinetic_energy:12.3f} {st.color_overflow:8d} {cap:7.0%}"
             )
     if render and not render_every:
         _render(runs, f"{render}", f"{category}/{name} step {steps}", draw_options)

@@ -23,6 +23,28 @@ class Statistics:
     color_overflow: int
     pair_overflow: bool
     step_id: int
+    # Capacity utilization — the SoA analog of the reference's proxy count /
+    # stack high-water counters (reference: include/solver2d/timer.h:8-17):
+    # fixed-capacity tables make "fraction of capacity used" the meaningful
+    # headroom metric (tree height / allocator high-water are N/A by design).
+    body_capacity: int = 0
+    shape_capacity: int = 0
+    contact_capacity: int = 0
+    joint_capacity: int = 0
+
+    @property
+    def utilization(self) -> dict:
+        """used/capacity per table (contact uses pair_count: the peak demand
+        on the table this step, which is what overflows it)."""
+        def frac(used, cap):
+            return used / cap if cap else 0.0
+
+        return {
+            "bodies": frac(self.body_count, self.body_capacity),
+            "shapes": frac(self.shape_count, self.shape_capacity),
+            "contacts": frac(self.pair_count, self.contact_capacity),
+            "joints": frac(self.joint_count, self.joint_capacity),
+        }
 
 
 def statistics(state: State) -> Statistics:
@@ -40,6 +62,10 @@ def statistics(state: State) -> Statistics:
         color_overflow=int(state.diag.color_overflow),
         pair_overflow=bool(state.diag.pair_overflow),
         step_id=int(state.diag.step_id),
+        body_capacity=int(b.alive.shape[0]),
+        shape_capacity=int(state.shapes.alive.shape[0]),
+        contact_capacity=int(state.contacts.key.shape[0]),
+        joint_capacity=int(state.joints.alive.shape[0]),
     )
 
 

@@ -522,7 +522,9 @@ class World:
         state = State(
             bodies=bodies,
             shapes=shapes,
-            contacts=Contacts.zeros(config.max_contacts),
+            contacts=Contacts.zeros(
+                config.max_contacts, sticky=config.solver == SolverType.TGS_STICKY
+            ),
             joints=joints,
             gravity=jnp.asarray(self.gravity, jnp.float32),
             diag=Diagnostics.zeros(),

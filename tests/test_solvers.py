@@ -80,14 +80,12 @@ def test_single_box_trajectory_parity(solver):
     assert abs(mine[-1, 1] - theirs[-1, 1]) < 2e-3
 
 
-@pytest.mark.parametrize(
-    "solver",
-    [SolverType.PGS, SolverType.PGS_SOFT, SolverType.TGS_SOFT, SolverType.TGS_NGS,
-     SolverType.XPBD, SolverType.PGS_NGS_BLOCK],
-    ids=lambda s: s.name,
-)
+@pytest.mark.parametrize("solver", ALL_SOLVERS, ids=[s.name for s in ALL_SOLVERS])
 def test_pendulum_trajectory_parity(solver):
-    """Single revolute pendulum: joint solver trajectory vs reference."""
+    """Single revolute pendulum: joint solver trajectory vs reference — all
+    ten solvers, covering every joint-solve mode incl. Jacobi's averaged
+    pass, SoftStep's relax phase, and TGS_Sticky's Baumgarte joints
+    (reference: src/joint.c dispatch, revolute_joint.c:660-790)."""
     w = World(solver=solver)
     g = w.create_body(type=BodyType.STATIC, position=(0, 0))
     b = w.create_body(type=BodyType.DYNAMIC, position=(1.0, 0.0))
