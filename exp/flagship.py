@@ -61,7 +61,9 @@ def timeblock(name, state, cfg, worlds=1, steps=STEPS):
         f"{name}: {dt*1000/steps:.1f} ms/step/batch, {wsps:.1f} world-steps/s | "
         f"finite={np.isfinite(pos).all()} pen={float(np.max(np.asarray(state.diag.max_penetration))):.4f} "
         f"pair_ovf={np.asarray(state.diag.pair_overflow).any()} "
-        f"color_ovf={int(np.max(np.asarray(state.diag.color_overflow)))}",
+        f"color_ovf={int(np.max(np.asarray(state.diag.color_overflow)))} "
+        f"pairs={int(np.max(np.asarray(state.diag.pair_count)))} "
+        f"contacts={int(np.max(np.asarray(state.diag.contact_count)))}",
         flush=True,
     )
     return state
