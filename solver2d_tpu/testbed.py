@@ -137,6 +137,13 @@ def main(argv=None):
                    help="world-steps per frame (reference: samples/sample.cpp:130-137)")
     p.add_argument("--render", default=None, help="output PNG path")
     p.add_argument("--render-every", type=int, default=0)
+    p.add_argument("--interactive", action="store_true",
+                   help="open a live matplotlib window with the reference's "
+                        "key bindings (P/O/R, [/], ,/.) and mouse drag "
+                        "(reference: samples/main.cpp:151-289)")
+    p.add_argument("--interactive-gif", default=None, metavar="PATH",
+                   help="record N headless interactive frames to an animated "
+                        "GIF instead of opening a window")
     # debug-draw layer toggles (reference: debug_draw.h:45-54)
     p.add_argument("--draw-aabbs", action="store_true")
     p.add_argument("--draw-mass", action="store_true")
@@ -156,6 +163,21 @@ def main(argv=None):
         solvers = list(SolverType)
     else:
         solvers = [SolverType[s.strip()] for s in args.solvers.split(",")]
+
+    if args.interactive or args.interactive_gif:
+        from .interactive import InteractiveTestbed
+
+        tb = InteractiveTestbed(
+            solvers, scene=f"{category}/{name}", hertz=args.hertz,
+            iterations=args.iters, extra_iterations=args.extra_iters,
+            warm_start=not args.no_warm_start,
+        )
+        if args.interactive_gif:
+            out = tb.record_gif(args.interactive_gif, frames=args.steps)
+            print(f"wrote {out}")
+        else:
+            tb.run()
+        return 0
     from .utils.draw import DrawOptions
 
     opts = DrawOptions(

@@ -138,3 +138,72 @@ def test_soft_constraint_study():
     assert stable(10.0, relax=False)
     assert not stable(25.0, relax=False)
     assert stable(18.0, relax=True)
+
+
+def test_interactive_testbed(tmp_path):
+    """The interactive testbed's event handlers and frame loop, driven
+    headlessly (reference behaviors: samples/main.cpp:151-289 key bindings,
+    samples/sample.cpp:69-123 mouse drag)."""
+    import types
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from solver2d_tpu.interactive import InteractiveTestbed
+
+    tb = InteractiveTestbed(
+        [SolverType.TGS_SOFT], scene="Contact/Single Box",
+        iterations=2, extra_iterations=1,
+    )
+    key = lambda k: types.SimpleNamespace(key=k)
+
+    # free-running frame advances the step counter
+    tb.frame(draw=False)
+    assert tb.step_count == 1
+
+    # P pauses (no advance), O single-steps exactly once and stays paused
+    tb.on_key(key("p"))
+    tb.frame(draw=False)
+    assert tb.paused and tb.step_count == 1
+    tb.on_key(key("o"))
+    tb.frame(draw=False)
+    assert tb.step_count == 2 and tb.paused
+    tb.frame(draw=False)
+    assert tb.step_count == 2
+
+    # mouse drag: pick the box (starts at (0,4)), drag target, release
+    run = tb.runs[SolverType.TGS_SOFT]
+    box = run.scene.meta["box"]
+    box_y = float(np.asarray(run.state.bodies.position)[box, 1])
+    down = types.SimpleNamespace(xdata=0.0, ydata=box_y, button=1)
+    tb.on_mouse_down(down)
+    assert tb.dragging and run.mouse_slot >= 0
+    assert bool(np.asarray(run.state.joints.alive)[run.mouse_slot])
+    tb.on_mouse_move(types.SimpleNamespace(xdata=3.0, ydata=box_y))
+    tgt = np.asarray(run.state.joints.target)[run.mouse_slot]
+    assert np.allclose(tgt, [3.0, box_y])
+    # stepping with the live mouse joint is the same compiled program
+    tb.on_key(key("o"))
+    tb.frame(draw=False)
+    tb.on_mouse_up(types.SimpleNamespace(button=1))
+    assert not tb.dragging and run.mouse_slot == -1
+    assert not bool(np.asarray(tb.runs[SolverType.TGS_SOFT].state.joints.alive).any())
+
+    # R restarts the sample
+    tb.on_key(key("r"))
+    assert tb.step_count == 0
+
+    # sample & solver cycling rebuild without stepping (no new compile here)
+    idx0 = tb.sample_idx
+    tb.on_key(key("]"))
+    assert tb.sample_idx == (idx0 + 1) % len(tb.catalog)
+    tb.on_key(key("["))
+    assert tb.sample_idx == idx0
+    tb.on_key(key("."))
+    assert tb.solvers[0] != SolverType.TGS_SOFT
+    tb.on_key(key(","))
+    assert tb.solvers[0] == SolverType.TGS_SOFT
+
+    # headless demo recording produces an animated GIF
+    out = tb.record_gif(str(tmp_path / "demo.gif"), frames=2, every=1)
+    assert os.path.exists(out)
