@@ -25,13 +25,27 @@ def main():
     from solver2d_tpu.parallel import replicate_state
     from solver2d_tpu.step import step
 
-    worlds = int(os.environ.get("S2_BENCH_WORLDS", "128"))
-    base = int(os.environ.get("S2_BENCH_BASE", "20"))  # north-star config: BASE=62 (~2k bodies), WORLDS=4096
+    # Defaults ARE the north-star configuration (BASELINE.md): base-62
+    # pyramid (1954 bodies/world) at 512 worlds, host-chunked into 64-world
+    # device batches (monolithic >=128-world programs kill the TPU worker),
+    # color-bucketed solve. Round-3 bench (128 x 211-body pyramid) remains
+    # reachable via S2_BENCH_WORLDS=128 S2_BENCH_BASE=20 S2_BENCH_HOSTCHUNK=0.
+    worlds = int(os.environ.get("S2_BENCH_WORLDS", "512"))
+    base = int(os.environ.get("S2_BENCH_BASE", "62"))
     steps = int(os.environ.get("S2_BENCH_STEPS", "20"))
     solver = SolverType[os.environ.get("S2_BENCH_SOLVER", "TGS_SOFT")]
     # lanes = lane-major narrowphase, 1.9x faster than the vmapped per-pair
     # kernel on chip with bit-identical manifolds (tests/test_narrow_lanes.py)
     narrow = os.environ.get("S2_BENCH_NARROW", "lanes")  # xla | lanes | pallas
+    bucket = int(os.environ.get("S2_BENCH_BUCKET", "-1"))  # -1 = auto cap, 0 = dense
+    chunk = int(os.environ.get("S2_BENCH_CHUNK", "0"))     # worlds per lax.map chunk
+    # worlds per HOST-driven chunk: separate chunk-sized device batches
+    # stepped sequentially by ONE jitted chunk-sized run block. This is how
+    # the north-star configuration runs: monolithic OR lax.map-chunked
+    # programs kill the TPU worker at >=128 / >=256 worlds respectively
+    # (exp/chip_r4.log), while host chunking keeps every device allocation at
+    # the proven chunk scale.
+    hostchunk = int(os.environ.get("S2_BENCH_HOSTCHUNK", "64"))
 
     w, ids = pyramid_world(solver, base_count=base)
     n_bodies = len(ids) + 1
@@ -44,21 +58,63 @@ def main():
         max_colors=int(os.environ.get("S2_BENCH_COLORS", "12")),
         gjk_iters=10,
         narrowphase=narrow,
+        contact_bucket_cap=bucket,
+        # the pyramid has zero joints; skip the empty joint table's
+        # joint_max_colors serialized solve phases per sweep (see
+        # config.solve_joints — the reference costs nothing for zero joints)
+        solve_joints=os.environ.get("S2_BENCH_NOJOINTS", "0") != "1",
     )
 
     vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+    if hostchunk and hostchunk < worlds:
+        assert worlds % hostchunk == 0, (worlds, hostchunk)
+
+        @partial(jax.jit, donate_argnums=0)
+        def run_chunk(b):
+            def body(s, _):
+                return vstep(s, jnp.float32(1.0 / 60.0)), None
+
+            out, _ = jax.lax.scan(body, b, None, length=steps)
+            return out
+
+        nc = worlds // hostchunk
+        chunks = [replicate_state(state, hostchunk) for _ in range(nc)]
+        chunks[0] = run_chunk(chunks[0])
+        _ = np.asarray(chunks[0].diag.step_id)
+        chunks[0] = run_chunk(chunks[0])
+        _ = np.asarray(chunks[0].diag.step_id)
+        t0 = time.perf_counter()
+        for i in range(nc):
+            chunks[i] = run_chunk(chunks[i])
+        for i in range(nc):
+            _ = np.asarray(chunks[i].bodies.position)
+        elapsed = time.perf_counter() - t0
+        _emit(worlds, base, n_bodies, steps, solver, narrow, cfg, chunk, hostchunk, elapsed)
+        return
+
+    if chunk and chunk < worlds:
+        # serialize through chunk-sized sub-batches so fused kernels keep a
+        # known-good shape (see exp/flagship.py timeblock; CLAUDE.md crash)
+        assert worlds % chunk == 0, (worlds, chunk)
+        stepf = lambda s, dt: jax.lax.map(lambda sb: vstep(sb, dt), s)
+    else:
+        stepf = vstep
 
     # donate the input batch: without donation two full batch copies coexist
     # across the call boundary — at north-star scale that is gigabytes
     @partial(jax.jit, donate_argnums=0)
     def run_block(b):
         def body(s, _):
-            return vstep(s, jnp.float32(1.0 / 60.0)), None
+            return stepf(s, jnp.float32(1.0 / 60.0)), None
 
         out, _ = jax.lax.scan(body, b, None, length=steps)
         return out
 
     batch = replicate_state(state, worlds)
+    if chunk and chunk < worlds:
+        batch = jax.tree_util.tree_map(
+            lambda x: x.reshape((worlds // chunk, chunk) + x.shape[1:]), batch
+        )
 
     # Warm up TWICE with chained (output->input) calls: call 1 compiles, call
     # 2 may recompile for the XLA-chosen output layouts; only then is the
@@ -73,6 +129,10 @@ def main():
     _ = np.asarray(batch.bodies.position)  # full materialization barrier
     elapsed = time.perf_counter() - t0
 
+    _emit(worlds, base, n_bodies, steps, solver, narrow, cfg, chunk, 0, elapsed)
+
+
+def _emit(worlds, base, n_bodies, steps, solver, narrow, cfg, chunk, hostchunk, elapsed):
     world_steps_per_sec = worlds * steps / elapsed
     target = 10000.0
     print(
@@ -94,6 +154,9 @@ def main():
                     "max_colors": cfg.max_colors,
                     "gjk_iters": cfg.gjk_iters,
                     "pallas_solver": cfg.use_pallas_solver,
+                    "bucket_cap": cfg.contact_bucket_cap,
+                    "chunk": chunk,
+                    "hostchunk": hostchunk,
                 },
             }
         )

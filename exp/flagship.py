@@ -31,10 +31,24 @@ STEPS = int(os.environ.get("S2_FS_STEPS", "30"))
 NARROW = os.environ.get("S2_FS_NARROW", "xla")
 
 
-def timeblock(name, state, cfg, worlds=1, steps=STEPS):
+def timeblock(name, state, cfg, worlds=1, steps=STEPS, chunk=0):
     if worlds > 1:
-        f = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+        vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
         state = replicate_state(state, worlds)
+        if chunk and chunk < worlds:
+            # Chunked stepping: lax.map serializes the batch through
+            # chunk-sized sub-batches, so every fused kernel keeps the
+            # known-good chunk shape (the >=128-world monolithic program
+            # kills the TPU worker, CLAUDE.md) and step temporaries are
+            # amortized across chunks instead of scaling with the batch.
+            assert worlds % chunk == 0, (worlds, chunk)
+            nc = worlds // chunk
+            state = jax.tree_util.tree_map(
+                lambda x: x.reshape((nc, chunk) + x.shape[1:]), state
+            )
+            f = lambda s, dt: jax.lax.map(lambda sb: vstep(sb, dt), s)
+        else:
+            f = vstep
     else:
         f = partial(step, config=cfg)
 
@@ -86,7 +100,11 @@ def pyramid100():
 
 def jointgrid():
     scene = joint_grid(SolverType.TGS_SOFT, numk=100, numi=100)
-    state, cfg = scene.freeze(narrowphase=NARROW)
+    state, cfg = scene.freeze(
+        narrowphase=NARROW,
+        joint_bucket_cap=int(os.environ.get("S2_FS_JBUCKET", "0")),  # -1 auto
+        contact_bucket_cap=int(os.environ.get("S2_FS_BUCKET", "0")),
+    )
     print(f"jointgrid: bodies={int(np.asarray(state.bodies.alive).sum())} "
           f"joints={int(np.asarray(state.joints.alive).sum())} jcolors={cfg.joint_max_colors}", flush=True)
     out = timeblock("jointgrid", state, cfg)
@@ -95,16 +113,68 @@ def jointgrid():
     print(f"jointgrid: joint_error={float(joint_error(out)):.4f}", flush=True)
 
 
+def timeblock_hostchunk(name, state, cfg, worlds, chunk, steps=STEPS):
+    """Host-driven chunking: `worlds/chunk` SEPARATE chunk-sized device
+    batches stepped sequentially by one jitted chunk-sized run block.
+
+    Device-side chunking (lax.map) still kills the TPU worker at >=256
+    worlds (total-buffer-size triggered, exp/chip_r4.log); host chunking
+    keeps every device allocation at the proven 64-world scale and reuses
+    the already-compiled chunk program."""
+    assert worlds % chunk == 0
+    nc = worlds // chunk
+    vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+
+    @partial(jax.jit, donate_argnums=0)
+    def run(b):
+        out, _ = jax.lax.scan(lambda s, _: (vstep(s, jnp.float32(1 / 60)), None), b, None, length=steps)
+        return out
+
+    chunks = [replicate_state(state, chunk) for _ in range(nc)]
+    # warm up twice on chunk 0 (compile + output-layout recompile)
+    chunks[0] = run(chunks[0])
+    _ = np.asarray(chunks[0].diag.step_id)
+    chunks[0] = run(chunks[0])
+    _ = np.asarray(chunks[0].diag.step_id)
+
+    t0 = time.perf_counter()
+    for i in range(nc):
+        chunks[i] = run(chunks[i])
+    for i in range(nc):
+        _ = np.asarray(chunks[i].diag.step_id)
+    dt = time.perf_counter() - t0
+    wsps = worlds * steps / dt
+    pos = np.asarray(chunks[-1].bodies.position)
+    print(
+        f"{name}: {dt*1000/steps:.1f} ms/step/batch ({nc} host chunks x {chunk}), "
+        f"{wsps:.1f} world-steps/s | finite={np.isfinite(pos).all()} "
+        f"pen={float(np.max(np.asarray(chunks[-1].diag.max_penetration))):.4f} "
+        f"color_ovf={int(np.max(np.asarray(chunks[-1].diag.color_overflow)))}",
+        flush=True,
+    )
+
+
 def northstar():
     worlds = int(os.environ.get("S2_FS_WORLDS", "4096"))
+    hostchunk = int(os.environ.get("S2_FS_HOSTCHUNK", "0"))
+    chunk = int(os.environ.get("S2_FS_CHUNK", "0"))
+    bucket = int(os.environ.get("S2_FS_BUCKET", "0"))  # -1 = auto cap
     w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=62)  # 1953 boxes
     state, cfg = w.freeze(
         max_contacts=((4 * len(ids) + 127) // 128) * 128, gjk_iters=10, narrowphase=NARROW,
         max_colors=int(os.environ.get("S2_FS_COLORS", "12")),
+        contact_bucket_cap=bucket,
+        # S2_FS_NOJOINTS=1: statically skip the empty joint table's
+        # joint_max_colors serialized phases per sweep (config.solve_joints)
+        solve_joints=os.environ.get("S2_FS_NOJOINTS", "0") != "1",
     )
     print(f"northstar: {worlds} worlds x {len(ids)+1} bodies, C={cfg.max_contacts} "
-          f"S={cfg.max_shapes} colors={cfg.max_colors}", flush=True)
-    timeblock("northstar", state, cfg, worlds=worlds)
+          f"S={cfg.max_shapes} colors={cfg.max_colors} bucket={cfg.contact_bucket_cap} "
+          f"chunk={chunk} hostchunk={hostchunk} joints={cfg.solve_joints}", flush=True)
+    if hostchunk:
+        timeblock_hostchunk("northstar", state, cfg, worlds, hostchunk)
+    else:
+        timeblock("northstar", state, cfg, worlds=worlds, chunk=chunk)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ BASE = int(os.environ.get("S2_PROF_BASE", "20"))
 ITERS = int(os.environ.get("S2_PROF_ITERS", "10"))
 NARROW = os.environ.get("S2_PROF_NARROW", "lanes")
 COLORS = int(os.environ.get("S2_PROF_COLORS", "12"))
+BUCKET = int(os.environ.get("S2_PROF_BUCKET", "0"))  # -1 auto
 
 w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=BASE)
 state, cfg = w.freeze(
@@ -35,6 +36,7 @@ state, cfg = w.freeze(
     max_colors=COLORS,
     gjk_iters=10,
     narrowphase=NARROW,
+    contact_bucket_cap=BUCKET,
 )
 print(f"bodies={len(ids)+1} max_bodies={cfg.max_bodies} max_contacts={cfg.max_contacts} "
       f"max_shapes={cfg.max_shapes} worlds={WORLDS}", flush=True)

@@ -16,9 +16,9 @@ echo "# git $(git rev-parse --short HEAD 2>/dev/null) ($(git status --porcelain 
 # fast unit files first, behavior/oracle files last
 FILES="test_math_geometry.py test_gather.py test_handles.py test_coloring.py \
 test_broadphase.py test_gjk.py test_manifold.py test_narrow_lanes.py \
-test_native.py test_queries.py test_aux.py test_dryrun.py test_color_overflow.py \
-test_scenes.py test_pallas_solver.py test_behavior.py test_solvers.py \
-test_large_scenes.py"
+test_native.py test_queries.py test_bucketed.py test_aux.py test_dryrun.py \
+test_color_overflow.py test_scenes.py test_pallas_solver.py test_behavior.py \
+test_solvers.py test_large_scenes.py"
 
 fail=0
 for f in $FILES; do

@@ -56,6 +56,26 @@ SUBSTEPPING_SOLVERS = frozenset(
     }
 )
 
+# Solvers whose contact sweeps support the color-bucketed solve
+# (SimConfig.contact_bucket_cap): the shared gs/ngs passes, XPBD's
+# position/velocity projections, and the block solver (its prepared extras
+# are elementwise over cons rows, so they inherit the bucketed layout).
+# Sticky couples slot-order friction anchors through prepare_sticky and
+# Jacobi solves the whole table at once — those two take the dense contact
+# path (joints bucket for all solvers).
+BUCKETABLE_SOLVERS = frozenset(
+    {
+        SolverType.PGS,
+        SolverType.PGS_NGS,
+        SolverType.PGS_SOFT,
+        SolverType.SOFT_STEP,
+        SolverType.TGS_SOFT,
+        SolverType.TGS_NGS,
+        SolverType.XPBD,
+        SolverType.PGS_NGS_BLOCK,
+    }
+)
+
 
 class BodyType(enum.IntEnum):
     """reference: include/solver2d/types.h:99-105"""
@@ -135,6 +155,33 @@ class SimConfig:
     # the overflow count is reported in diagnostics.
     max_colors: int = 16
     joint_max_colors: int = 8
+
+    # Color-bucketed solve (> 0 enables): permute prepared contact
+    # constraints into color-major buckets of this static per-color capacity
+    # once per step, so each unrolled solve phase slices only its own
+    # ~C/max_colors rows instead of re-solving all C with a color mask — the
+    # dense path costs max_colors x redundant math and row-gather traffic per
+    # sweep. Only effective for BUCKETABLE_SOLVERS with incremental coloring
+    # (capacity-aware color assignment keeps every color within cap; over-cap
+    # stragglers skip one step, recolor, and count in diag.color_overflow).
+    # Sizing: cap * max_colors should comfortably exceed the live contact
+    # count; world.freeze(contact_bucket_cap=-1) auto-sizes.
+    contact_bucket_cap: int = 0
+    # Same for joints (all solvers — every joint sweep routes through the
+    # shared jk passes; Joint Grid's 19.8k joints x joint_max_colors dense
+    # sweeps are the analog redundancy).
+    joint_bucket_cap: int = 0
+
+    # Statically skip every joint solve phase. The reference's joint loops
+    # cost zero for zero joints (they iterate a count), but our static-shape
+    # pipeline pays joint_max_colors serialized phases per sweep — each with
+    # a full [B]-row gather_apply — even for an empty 8-slot joint table.
+    # Joint-free perf scenes (the north-star pyramid) opt in via
+    # world.freeze(solve_joints=False); freeze asserts the scene has no live
+    # joints. NOTE: a runtime-attached mouse joint (queries.attach_mouse_joint)
+    # is solved only when this is True, which is why it is not auto-derived —
+    # the interactive testbed drags contact-only scenes.
+    solve_joints: bool = True
 
     # Persistent incremental coloring (ops/coloring.py:assign_colors): colors
     # ride the contact/joint state across steps; only new constraints pay

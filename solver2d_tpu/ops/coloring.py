@@ -108,7 +108,7 @@ def color_graph(body_a, body_b, active, dynamic_mask, num_bodies: int, max_color
 
 
 def assign_colors(carried, body_a, body_b, active, dynamic_mask, num_bodies: int,
-                  max_colors: int, rounds: int = 8):
+                  max_colors: int, rounds: int = 8, bucket_cap: int = 0):
     """Persistent incremental coloring: validate colors carried from the
     previous step, then color the (few) new constraints with Jones-Plassmann
     first-fit rounds using hashed-priority conflict resolution.
@@ -127,7 +127,14 @@ def assign_colors(carried, body_a, body_b, active, dynamic_mask, num_bodies: int
     invariant, the losing constraint drops to -1 and recolors.
 
     carried: i32 [N] previous color or -1; returns (color i32 [N] with -1 for
-    uncolored, overflow i32 count). Requires max_colors <= 30 (bitmask)."""
+    uncolored, overflow i32 count). Requires max_colors <= 30 (bitmask).
+
+    bucket_cap > 0 makes new assignments CAPACITY-AWARE for the bucketed
+    solve (see build_color_buckets): a color whose current population is at
+    or above the cap is masked out of the free set, so first-fit spreads new
+    constraints into colors with bucket space (a balanced coloring). Carried
+    colors are not evicted by capacity — build_color_buckets drops the
+    over-cap tail to -1 and they re-enter here the next step."""
     assert max_colors <= 30, "assign_colors packs colors into an i32 bitmask"
     N = body_a.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -187,6 +194,15 @@ def assign_colors(carried, body_a, body_b, active, dynamic_mask, num_bodies: int
         used = tscatter_add(used, jnp.where(ok2, slots_ab, num_bodies), jnp.concatenate([bit, bit]))
         rows = tgather(used, slots_ab)
         free = ~(jnp.where(dyn_a, rows[:N], 0) | jnp.where(dyn_b, rows[N:], 0)) & full_mask
+        if bucket_cap > 0:
+            # mask colors whose population already fills their solve bucket
+            cnt = jnp.zeros((max_colors + 1,), jnp.int32)
+            cnt = tscatter_add(cnt, jnp.where(ok, color, max_colors), jnp.ones((N,), jnp.int32))
+            full_colors = (
+                jnp.where(cnt[:max_colors] >= bucket_cap,
+                          jnp.int32(1) << jnp.arange(max_colors, dtype=jnp.int32), 0)
+            ).sum()
+            free = free & ~full_colors
         lowbit = free & -free
         # log2 of a power of two <= 2^30 is exact in f32
         newc = jnp.log2(jnp.maximum(lowbit, 1).astype(jnp.float32)).astype(jnp.int32)
@@ -231,3 +247,39 @@ def build_body_map(body_a, body_b, color, active, write_a, write_b, num_bodies: 
     slot = jnp.full((num_bodies * max_colors + 1,), -1, jnp.int32)
     slot = tscatter_max(slot, jnp.concatenate([cell_a, cell_b]), jnp.concatenate([idx, idx]))
     return slot[: num_bodies * max_colors].reshape(num_bodies, max_colors)
+
+
+def build_color_buckets(color, active, max_colors: int, cap: int):
+    """Color-major bucket table for the bucketed Gauss-Seidel solve.
+
+    Returns (bucket i32 [max_colors*cap], new_color i32 [N], dropped i32 []):
+    bucket[k*cap + r] = index of the r-th color-k constraint (or -1). Each
+    unrolled solve phase then statically slices ITS bucket and processes only
+    ~N/max_colors rows instead of masking all N — the dense path re-solves
+    every constraint once per color, so bucketing removes the max_colors x
+    redundancy in both math and row-gather traffic.
+
+    Constraints beyond a color's cap are dropped for this step (skipped like
+    color overflow, reference analog: skipped constraints simply don't solve)
+    and their color is reset to -1 in new_color so the capacity-aware
+    incremental coloring reassigns them into a color with space next step.
+    """
+    N = color.shape[0]
+    K = max_colors
+    idx = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(active & (color >= 0), jnp.clip(color, 0, K - 1), K).astype(jnp.int32)
+    order = jnp.argsort(key * jnp.int32(N) + idx).astype(jnp.int32)
+    skey = tgather(key, order)
+    starts = jnp.searchsorted(skey, jnp.arange(K, dtype=jnp.int32), side="left").astype(jnp.int32)
+    rank = idx - tgather(starts, jnp.clip(skey, 0, K - 1))
+    ok = (skey < K) & (rank < cap)
+    cell = jnp.where(ok, jnp.clip(skey, 0, K - 1) * cap + rank, K * cap)
+    table = jnp.full((K * cap + 1,), -1, jnp.int32)
+    table = tscatter_max(table, cell, jnp.where(ok, order, -1))
+    bucket = table[: K * cap]
+
+    dropped_sorted = (skey < K) & ~ok
+    drop_tbl = jnp.zeros((N,), jnp.int32)
+    drop_tbl = tscatter_max(drop_tbl, order, dropped_sorted.astype(jnp.int32))
+    new_color = jnp.where(drop_tbl > 0, -1, color)
+    return bucket, new_color, dropped_sorted.sum().astype(jnp.int32)

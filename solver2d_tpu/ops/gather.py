@@ -92,3 +92,6 @@ def _make_tscatter(op: str):
 
 tscatter_add = _make_tscatter("add")
 tscatter_max = _make_tscatter("max")
+# last-writer-wins set; callers must guarantee idx uniqueness (modulo the
+# sink row) for deterministic results
+tscatter_set = _make_tscatter("set")

@@ -387,7 +387,105 @@ def warm_start_packed(bs, cons: ContactCons, n_imp, t_imp, fixed_anchors: bool =
 def ngs_pass(bs, cons: ContactCons, k, bmap: "BodyMap"):
     """Nonlinear Gauss-Seidel position correction for one color
     (reference: src/solve_common.c:328-394). Packed body state; applied
-    scatter-free via the body map."""
+    scatter-free via the body map. The math lives in `ngs_apply` (shared
+    with the bucketed path)."""
+    return ngs_apply(bs, cons, bmap.slot[:, k])
+
+
+def store_impulses(contacts: Contacts, cons: ContactCons, n_imp, t_imp) -> Contacts:
+    """Write accumulated impulses back to the manifold for next-step warm
+    starting (reference: src/solve_common.c:396-410)."""
+    import dataclasses
+
+    keep = cons.pmask
+    return dataclasses.replace(
+        contacts,
+        normal_impulse=jnp.where(keep, n_imp, contacts.normal_impulse),
+        tangent_impulse=jnp.where(keep, t_imp, contacts.tangent_impulse),
+    )
+
+
+# ------------------------------------------------------------ bucketed solve
+#
+# The dense colored pass re-solves ALL C contacts once per color and applies
+# only color k — max_colors x redundant math and row-gather traffic. The
+# bucketed path (ops/coloring.py:build_color_buckets) permutes the prepared
+# constraints into color-major buckets ONCE per step; each statically
+# unrolled phase then slices its own ~C/max_colors rows. Same per-contact
+# math, same within-color parallel-GS semantics.
+
+
+def permute_rows(arrays, bucket):
+    """Permute a tuple of [N, ...] arrays into bucket order with ONE packed
+    row-gather (per-row fixed cost dominates on TPU). bucket: i32 [T] with
+    -1 pads. Int lanes ride the FTZ-safe biased transport (broadphase._i2f);
+    bools travel as 0/1 f32. Returns (tuple of [T, ...] arrays, valid [T])."""
+    from ..ops.broadphase import _f2i, _i2f
+
+    valid = bucket >= 0
+    bi = jnp.maximum(bucket, 0)
+    cols = []
+    for x in arrays:
+        flat = x.reshape(x.shape[0], -1)
+        if x.dtype == jnp.int32:
+            flat = _i2f(flat)
+        elif x.dtype == jnp.bool_:
+            flat = flat.astype(jnp.float32)
+        cols.append(flat)
+    packed = jnp.concatenate(cols, axis=-1)
+    rows = tgather(packed, bi)
+    outs = []
+    o = 0
+    for x in arrays:
+        k = int(np.prod(x.shape[1:]))
+        seg = rows[:, o:o + k].reshape((bi.shape[0],) + x.shape[1:])
+        if x.dtype == jnp.int32:
+            seg = _f2i(seg)
+        elif x.dtype == jnp.bool_:
+            seg = seg > 0.5
+        outs.append(seg)
+        o += k
+    return tuple(outs), valid
+
+
+def bucket_contacts(cons: ContactCons, n_imp, t_imp, bucket):
+    """Permute prepared constraints + impulses into color-major bucket order;
+    pad rows are masked inactive."""
+    outs, valid = permute_rows(tuple(cons) + (n_imp, t_imp), bucket)
+    cons_b = ContactCons(*outs[:-2])
+    cons_b = cons_b._replace(
+        active=cons_b.active & valid,
+        pmask=cons_b.pmask & valid[:, None],
+    )
+    return cons_b, outs[-2], outs[-1]
+
+
+def unbucket_impulses(contacts: Contacts, cons_b: ContactCons, bucket, n_b, t_b) -> Contacts:
+    """Scatter bucketed impulses back to contact-slot order and store them in
+    the manifold (bucketed analog of store_impulses; reference:
+    src/solve_common.c:396-410 writes only the manifold's live points)."""
+    import dataclasses
+
+    from ..ops.gather import tscatter_set
+
+    C = contacts.normal_impulse.shape[0]
+    bi = jnp.where(bucket >= 0, bucket, C)
+    stacked = []
+    for src, tgt in ((n_b, contacts.normal_impulse), (t_b, contacts.tangent_impulse)):
+        cols = []
+        for j in range(2):
+            idx = jnp.where(cons_b.pmask[:, j], bi, C)
+            padded = jnp.concatenate([tgt[:, j], jnp.zeros((1,), tgt.dtype)])
+            cols.append(tscatter_set(padded, idx, src[:, j])[:C])
+        stacked.append(jnp.stack(cols, axis=-1))
+    return dataclasses.replace(
+        contacts, normal_impulse=stacked[0], tangent_impulse=stacked[1]
+    )
+
+
+def ngs_apply(bs, cons: ContactCons, slot_k):
+    """NGS position correction for one constraint set applied via a direct
+    slot table (shared by the dense per-color path and the bucketed path)."""
     ia, ib = cons.ia, cons.ib
     mA, iA = cons.inv_mass_a, cons.inv_i_a
     mB, iB = cons.inv_mass_b, cons.inv_i_b
@@ -417,18 +515,5 @@ def ngs_pass(bs, cons: ContactCons, k, bmap: "BodyMap"):
 
     outA = pack_rows(vA, wA, dcA, qA)
     outB = pack_rows(vB, wB, dcB, qB)
-    (bs,) = gather_apply(bmap.slot[:, k], cons.ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot_k, cons.ia, (outA,), (outB,), (bs,))
     return bs
-
-
-def store_impulses(contacts: Contacts, cons: ContactCons, n_imp, t_imp) -> Contacts:
-    """Write accumulated impulses back to the manifold for next-step warm
-    starting (reference: src/solve_common.c:396-410)."""
-    import dataclasses
-
-    keep = cons.pmask
-    return dataclasses.replace(
-        contacts,
-        normal_impulse=jnp.where(keep, n_imp, contacts.normal_impulse),
-        tangent_impulse=jnp.where(keep, t_imp, contacts.tangent_impulse),
-    )

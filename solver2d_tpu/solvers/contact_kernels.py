@@ -204,6 +204,37 @@ def gs_contact_pass(carry, k, cons: ContactCons, mode: SolveMode, inv_h, use_bia
     return (bs, n_imp, t_imp)
 
 
+def gs_contact_pass_bucketed(carry, k, cap, cons_k: ContactCons, mode: SolveMode,
+                             inv_h, use_bias, slot_local, winner_k):
+    """Bucketed variant of gs_contact_pass: `cons_k` is color k's static
+    bucket slice (`cap` rows, see ops/coloring.py:build_color_buckets), so
+    the pass gathers/solves only ~C/max_colors rows instead of masking all C.
+    The full bucketed impulse arrays ride the carry; only this color's
+    static slice is read and written. slot_local: [B] index into the slice
+    (bmap slot minus the bucket offset); winner_k: the slice of bmap.winner."""
+    from .common import gather_apply, pack_rows, unpack_rows
+
+    bs, n_imp, t_imp = carry
+    o = k * cap
+    n_k = n_imp[o:o + cap]
+    t_k = t_imp[o:o + cap]
+    ia, ib = cons_k.ia, cons_k.ib
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA, qA = unpack_rows(_ra)
+    vB, wB, dcB, qB = unpack_rows(_rb)
+
+    vA2, wA2, vB2, wB2, n2, t2 = solve_contact_core(
+        cons_k, vA, wA, vB, wB, qA, qB, dcA, dcB, n_k, t_k, mode, inv_h, use_bias
+    )
+    upd = cons_k.active & winner_k
+    outA = pack_rows(vA2, wA2, dcA, qA)
+    outB = pack_rows(vB2, wB2, dcB, qB)
+    (bs,) = gather_apply(slot_local, ia, (outA,), (outB,), (bs,))
+    n_imp = n_imp.at[o:o + cap].set(jnp.where(upd[:, None], n2, n_k))
+    t_imp = t_imp.at[o:o + cap].set(jnp.where(upd[:, None], t2, t_k))
+    return (bs, n_imp, t_imp)
+
+
 def jacobi_contact_pass(bs, cons: ContactCons, n_imp, t_imp, mode: SolveMode, inv_h, use_bias):
     """Jacobi: solve every contact against frozen velocities, accumulate
     per-body deltas, apply once (reference: src/solve_jacobi.c:21-132,233-245).
@@ -264,10 +295,13 @@ def prepare_block(cons: ContactCons, inv_dt):
     return velocity_bias, k_mat, block_mass, use_block, pmask_eff
 
 
-def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block_mass, use_block, pmask_eff, color, bmap):
+def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block_mass, use_block, pmask_eff, color, bmap, direct=None):
     """One colored pass of s2BlockSolveVelocity (block.c:329-658): friction
     first, then either scalar normal (1 point) or the 2x2 LCP solved by total
-    enumeration (Murty) — all four cases evaluated, first valid selected."""
+    enumeration (Murty) — all four cases evaluated, first valid selected.
+
+    direct=(slot_local, winner_k): bucketed mode — cons/extras/carry are
+    color k's bucket slice and color/bmap are unused."""
     from .common import pack_rows, unpack_rows
 
     bs, n_imp, t_imp = carry
@@ -365,18 +399,25 @@ def block_velocity_pass(carry, k, cons: ContactCons, velocity_bias, k_mat, block
 
     from .common import gather_apply
 
-    upd = (color == k) & cons.active & bmap.winner
+    if direct is None:
+        slot = bmap.slot[:, k]
+        upd = (color == k) & cons.active & bmap.winner
+    else:
+        slot = direct[0]
+        upd = cons.active & direct[1]
     outA = pack_rows(vA, wA, dcA_r, qA_r)
     outB = pack_rows(vB, wB, dcB_r, qB_r)
-    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot, ia, (outA,), (outB,), (bs,))
     n_imp = jnp.where(upd[:, None], n_imp_new, n_imp)
     t_imp = jnp.where(upd[:, None], t_imp, carry[2])
     return (bs, n_imp, t_imp)
 
 
-def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap):
+def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap, direct=None):
     """s2BlockSolvePosition (block.c:679-890): block NGS for 2-point
-    manifolds, scalar NGS otherwise. carry = packed bs."""
+    manifolds, scalar NGS otherwise. carry = packed bs.
+
+    direct=(slot_local, winner_k): bucketed mode (see block_velocity_pass)."""
     from .common import pack_rows, unpack_rows
 
     bs = carry
@@ -455,9 +496,10 @@ def block_position_pass(carry, k, cons: ContactCons, use_block, color, bmap):
 
     from .common import gather_apply
 
+    slot = bmap.slot[:, k] if direct is None else direct[0]
     outA = pack_rows(vA_r, wA_r, dcA_n, qA_n)
     outB = pack_rows(vB_r, wB_r, dcB_n, qB_n)
-    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot, ia, (outA,), (outB,), (bs,))
     return bs
 
 
@@ -616,10 +658,13 @@ def sticky_velocity_pass(carry, k, cons: ContactCons, lfa, lfb, tangent_sep, sti
 
 # ------------------------------------------------------------------------ XPBD
 
-def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap):
+def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap, direct=None):
     """s2SolveContactPositions_XPBD (xpbd.c:88-216): non-penetration lambda in
     position space then static-friction projection. Impulses are overwritten
-    (not accumulated) each call. carry = (bs, n_imp, t_imp)."""
+    (not accumulated) each call. carry = (bs, n_imp, t_imp).
+
+    direct=(slot_local, winner_k): bucketed mode — cons/carry are color k's
+    bucket slice and color/bmap are unused (see solvers/common.py)."""
     from .common import pack_rows, unpack_rows
 
     bs, n_imp, t_imp = carry
@@ -681,20 +726,27 @@ def xpbd_position_pass(carry, k, cons: ContactCons, h, color, bmap):
 
     from .common import gather_apply
 
-    upd = (color == k) & cons.active & bmap.winner
+    if direct is None:
+        slot = bmap.slot[:, k]
+        upd = (color == k) & cons.active & bmap.winner
+    else:
+        slot = direct[0]
+        upd = cons.active & direct[1]
     updn = upd[:, None]
     outA = pack_rows(vA_r, wA_r, dcA, qA)
     outB = pack_rows(vB_r, wB_r, dcB, qB)
-    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot, ia, (outA,), (outB,), (bs,))
     n_imp = jnp.where(updn, n_imp, carry[1])
     t_imp = jnp.where(updn, t_imp, carry[2])
     return (bs, n_imp, t_imp)
 
 
-def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap):
+def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap, direct=None):
     """s2SolveContactVelocities_XPBD (xpbd.c:218-338): normal relaxation (only
     where a position lambda was applied) + kinetic friction via eq. 31 with
-    the paper's unit fix. carry = (bs, n_imp, t_imp)."""
+    the paper's unit fix. carry = (bs, n_imp, t_imp).
+
+    direct: bucketed-mode override, as in xpbd_position_pass."""
     from .common import pack_rows, unpack_rows
 
     bs, n_imp, t_imp = carry
@@ -751,9 +803,14 @@ def xpbd_velocity_pass(carry, k, cons: ContactCons, h, inv_h, color, bmap):
 
     from .common import gather_apply
 
-    upd = (color == k) & cons.active & bmap.winner
+    if direct is None:
+        slot = bmap.slot[:, k]
+        upd = (color == k) & cons.active & bmap.winner
+    else:
+        slot = direct[0]
+        upd = cons.active & direct[1]
     outA = pack_rows(vA, wA, dcA_r, qA)
     outB = pack_rows(vB, wB, dcB_r, qB)
-    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot, ia, (outA,), (outB,), (bs,))
     t_imp = jnp.where(upd[:, None], t_imp, carry[2])
     return (bs, n_imp, t_imp)

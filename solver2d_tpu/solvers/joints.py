@@ -175,6 +175,12 @@ def prepare_joints(bodies: Bodies, joints: Joints, *, h, hertz, soft: bool, warm
 def warm_start_pass(bs, k, cons: JointCons, imp: JointImp, bmap):
     """(revolute_joint.c:107-150, mouse_joint.c:85-107) — applied per color
     via the body map (scatter-free). Packed body state."""
+    return warm_start_apply(bs, cons, imp, bmap.slot[:, k])
+
+
+def warm_start_apply(bs, cons: JointCons, imp: JointImp, slot):
+    """Warm start one constraint set via a direct slot table (shared by the
+    dense per-color path and the bucketed path)."""
     from .common import gather_apply, pack_rows, unpack_rows, gather_rows2
 
     ia, ib = cons.ia, cons.ib
@@ -193,7 +199,7 @@ def warm_start_pass(bs, k, cons: JointCons, imp: JointImp, bmap):
     wB2 = wB + cons.inv_i_b * (m.cross(rB, P) + axial)
     outA = pack_rows(vA2, wA2, dcA, qA)
     outB = pack_rows(vB2, wB2, dcB, qB)
-    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot, ia, (outA,), (outB,), (bs,))
     return bs
 
 
@@ -396,6 +402,10 @@ def position_pass(bs, k, cons: JointCons, color, bmap):
     """NGS joint position solve (revolute_joint.c:305-419): angular limit
     correction + point-to-point projection. Mouse joints are skipped
     (joint.c:353-364). Packed body state."""
+    return position_apply(bs, cons, bmap.slot[:, k])
+
+
+def position_apply(bs, cons: JointCons, slot):
     from .common import pack_rows, unpack_rows
 
     ia, ib = cons.ia, cons.ib
@@ -444,7 +454,7 @@ def position_pass(bs, k, cons: JointCons, color, bmap):
     revn = rev[:, None]
     outA = jnp.where(revn, outA, rows0A)
     outB = jnp.where(revn, outB, rows0B)
-    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot, ia, (outA,), (outB,), (bs,))
     return bs
 
 
@@ -452,6 +462,10 @@ def xpbd_pass(bs, k, cons: JointCons, inv_h, color, bmap):
     """XPBD scalar-distance projection (revolute_joint.c:825-888); mouse
     joints fall through to the regular mouse solve in the XPBD loop
     (joint.c:450-465), handled by the caller. Packed body state."""
+    return xpbd_apply(bs, cons, inv_h, bmap.slot[:, k])
+
+
+def xpbd_apply(bs, cons: JointCons, inv_h, slot):
     from .common import pack_rows, unpack_rows
 
     ia, ib = cons.ia, cons.ib
@@ -489,7 +503,7 @@ def xpbd_pass(bs, k, cons: JointCons, inv_h, color, bmap):
     revn = rev[:, None]
     outA = jnp.where(revn, outA, rows0A)
     outB = jnp.where(revn, outB, rows0B)
-    (bs,) = gather_apply(bmap.slot[:, k], ia, (outA,), (outB,), (bs,))
+    (bs,) = gather_apply(slot, ia, (outA,), (outB,), (bs,))
     return bs
 
 
@@ -503,4 +517,87 @@ def store_impulses(joints: Joints, cons: JointCons, imp: JointImp) -> Joints:
         motor_impulse=jnp.where(a, imp.motor, joints.motor_impulse),
         lower_impulse=jnp.where(a, imp.lower, joints.lower_impulse),
         upper_impulse=jnp.where(a, imp.upper, joints.upper_impulse),
+    )
+
+
+# ------------------------------------------------------------ bucketed solve
+#
+# Mirror of the contact bucketing (solvers/common.py): JointCons + JointImp
+# are permuted into color-major buckets once per step; each unrolled joint
+# phase slices only its own ~J/joint_max_colors rows.
+
+
+def _imp_slice(imp: JointImp, o: int, cap: int) -> JointImp:
+    return JointImp(
+        impulse=imp.impulse[o:o + cap], motor=imp.motor[o:o + cap],
+        lower=imp.lower[o:o + cap], upper=imp.upper[o:o + cap],
+    )
+
+
+def bucket_joints(cons: JointCons, imp: JointImp, bucket):
+    """Permute prepared joint constraints + impulses into color-major bucket
+    order (one packed row-gather); pad rows are masked inactive."""
+    from .common import permute_rows
+
+    n = len(cons)
+    outs, valid = permute_rows(tuple(cons) + tuple(imp), bucket)
+    cons_b = JointCons(*outs[:n])
+    cons_b = cons_b._replace(active=cons_b.active & valid)
+    return cons_b, JointImp(*outs[n:])
+
+
+def solve_pass_bucketed(carry, k, cap, cons_k: JointCons, mode: str, h, inv_h,
+                        use_bias: bool, slot_local, winner_k,
+                        solve_mouse: bool = True, only_mouse: bool = False):
+    """Bucketed variant of solve_pass: cons_k is color k's static bucket
+    slice; the full bucketed JointImp rides the carry and only this color's
+    slice is read/written."""
+    from .common import gather_apply, pack_rows, unpack_rows
+
+    bs, imp = carry
+    o = k * cap
+    imp_k = _imp_slice(imp, o, cap)
+    ia, ib = cons_k.ia, cons_k.ib
+    _ra, _rb = gather_rows2(bs, ia, ib)
+    vA, wA, dcA_r, qA = unpack_rows(_ra)
+    vB, wB, dcB_r, qB = unpack_rows(_rb)
+
+    vA, wA, vB, wB, new_imp, imp2, scope = solve_joint_core(
+        cons_k, vA, wA, vB, wB, qA, qB, dcA_r, dcB_r, imp_k, mode, h, inv_h,
+        use_bias, solve_mouse, only_mouse,
+    )
+    upd = scope & winner_k
+    updn = upd[:, None]
+    outA = pack_rows(vA, wA, dcA_r, qA)
+    outB = pack_rows(vB, wB, dcB_r, qB)
+    (bs,) = gather_apply(slot_local, ia, (outA,), (outB,), (bs,))
+    imp_out = JointImp(
+        impulse=imp.impulse.at[o:o + cap].set(jnp.where(updn, new_imp, imp_k.impulse)),
+        motor=imp.motor.at[o:o + cap].set(jnp.where(upd, imp2.motor, imp_k.motor)),
+        lower=imp.lower.at[o:o + cap].set(jnp.where(upd, imp2.lower, imp_k.lower)),
+        upper=imp.upper.at[o:o + cap].set(jnp.where(upd, imp2.upper, imp_k.upper)),
+    )
+    return (bs, imp_out)
+
+
+def store_impulses_bucketed(joints: Joints, cons_b: JointCons, bucket, imp_b: JointImp) -> Joints:
+    """Scatter bucketed joint impulses back to slot order and store them
+    (bucketed analog of store_impulses)."""
+    import dataclasses
+
+    from ..ops.gather import tscatter_set
+
+    J = joints.impulse.shape[0]
+    idx = jnp.where(cons_b.active, jnp.maximum(bucket, 0), J)
+
+    def put(tgt, src):
+        pad = jnp.concatenate([tgt, jnp.zeros((1,) + tgt.shape[1:], tgt.dtype)])
+        return tscatter_set(pad, idx, src)[:J]
+
+    return dataclasses.replace(
+        joints,
+        impulse=put(joints.impulse, imp_b.impulse),
+        motor_impulse=put(joints.motor_impulse, imp_b.motor),
+        lower_impulse=put(joints.lower_impulse, imp_b.lower),
+        upper_impulse=put(joints.upper_impulse, imp_b.upper),
     )

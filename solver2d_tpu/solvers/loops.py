@@ -47,54 +47,122 @@ from .common import (
 # carry layout threaded through all loops: (bs [B,8], n_imp, t_imp, joint_imp)
 
 
+def _bucket(colors):
+    """The contact color-major bucket table, or None on the dense path
+    (step.py appends it to `colors` for bucketable solver/config combos)."""
+    return colors[4] if len(colors) > 4 else None
+
+
+def _jbucket(colors):
+    """The joint color-major bucket table, or None on the dense path."""
+    return colors[5] if len(colors) > 5 else None
+
+
+def _cons_slice(cons, k, cap):
+    sl = slice(k * cap, (k + 1) * cap)
+    return type(cons)(*(x[sl] for x in cons))
+
+
+def _slot_local(cmap, k, cap):
+    slot_k = cmap.slot[:, k]
+    return jnp.where(slot_k >= 0, slot_k - k * cap, -1)
+
+
 def _contact_gs(st, colors, cfg, cons, mode, inv_h, use_bias):
     ccolor, cmap = colors[0], colors[1]
     bs, n, t, jimp = st
-    bs, n, t = colored_pass(
-        cfg.max_colors,
-        lambda c, k: ck.gs_contact_pass(c, k, cons, mode, inv_h, use_bias, ccolor, cmap),
-        (bs, n, t),
-    )
+    if _bucket(colors) is not None:
+        cap = cfg.contact_bucket_cap
+        carry = (bs, n, t)
+        for k in range(cfg.max_colors):
+            carry = ck.gs_contact_pass_bucketed(
+                carry, k, cap, _cons_slice(cons, k, cap), mode, inv_h, use_bias,
+                _slot_local(cmap, k, cap), cmap.winner[k * cap:(k + 1) * cap],
+            )
+        bs, n, t = carry
+    else:
+        bs, n, t = colored_pass(
+            cfg.max_colors,
+            lambda c, k: ck.gs_contact_pass(c, k, cons, mode, inv_h, use_bias, ccolor, cmap),
+            (bs, n, t),
+        )
     return (bs, n, t, jimp)
 
 
 def _joint_gs(st, colors, cfg, jcons, mode, h, inv_h, use_bias, solve_mouse=True, only_mouse=False):
+    if not cfg.solve_joints:
+        return st
     jcolor, jmap = colors[2], colors[3]
     bs, n, t, jimp = st
-    bs, jimp = colored_pass(
-        cfg.joint_max_colors,
-        lambda c, k: jk.solve_pass(c, k, jcons, mode, h, inv_h, use_bias, jcolor, jmap, solve_mouse, only_mouse),
-        (bs, jimp),
-    )
+    if _jbucket(colors) is not None:
+        cap = cfg.joint_bucket_cap
+        carry = (bs, jimp)
+        for k in range(cfg.joint_max_colors):
+            carry = jk.solve_pass_bucketed(
+                carry, k, cap, _cons_slice(jcons, k, cap), mode, h, inv_h, use_bias,
+                _slot_local(jmap, k, cap), jmap.winner[k * cap:(k + 1) * cap],
+                solve_mouse, only_mouse,
+            )
+        bs, jimp = carry
+    else:
+        bs, jimp = colored_pass(
+            cfg.joint_max_colors,
+            lambda c, k: jk.solve_pass(c, k, jcons, mode, h, inv_h, use_bias, jcolor, jmap, solve_mouse, only_mouse),
+            (bs, jimp),
+        )
     return (bs, n, t, jimp)
 
 
 def _joint_warm(st, colors, cfg, jcons):
+    if not cfg.solve_joints:
+        return st
     jcolor, jmap = colors[2], colors[3]
     bs, n, t, jimp = st
-    bs = colored_pass(
-        cfg.joint_max_colors,
-        lambda c, k: jk.warm_start_pass(c, k, jcons, jimp, jmap),
-        bs,
-    )
+    if _jbucket(colors) is not None:
+        cap = cfg.joint_bucket_cap
+        for k in range(cfg.joint_max_colors):
+            bs = jk.warm_start_apply(
+                bs, _cons_slice(jcons, k, cap), jk._imp_slice(jimp, k * cap, cap),
+                _slot_local(jmap, k, cap),
+            )
+    else:
+        bs = colored_pass(
+            cfg.joint_max_colors,
+            lambda c, k: jk.warm_start_pass(c, k, jcons, jimp, jmap),
+            bs,
+        )
     return (bs, n, t, jimp)
 
 
 def _joint_ngs(st, colors, cfg, jcons):
+    if not cfg.solve_joints:
+        return st
     jcolor, jmap = colors[2], colors[3]
     bs, n, t, jimp = st
-    bs = colored_pass(
-        cfg.joint_max_colors,
-        lambda c, k: jk.position_pass(c, k, jcons, jcolor, jmap),
-        bs,
-    )
+    if _jbucket(colors) is not None:
+        cap = cfg.joint_bucket_cap
+        for k in range(cfg.joint_max_colors):
+            bs = jk.position_apply(bs, _cons_slice(jcons, k, cap), _slot_local(jmap, k, cap))
+    else:
+        bs = colored_pass(
+            cfg.joint_max_colors,
+            lambda c, k: jk.position_pass(c, k, jcons, jcolor, jmap),
+            bs,
+        )
     return (bs, n, t, jimp)
 
 
 def _contact_ngs(st, colors, cfg, cons):
     cmap = colors[1]
     bs, n, t, jimp = st
-    bs = colored_pass(cfg.max_colors, lambda c, k: ngs_pass(c, cons, k, cmap), bs)
+    if _bucket(colors) is not None:
+        cap = cfg.contact_bucket_cap
+        from .common import ngs_apply
+
+        for k in range(cfg.max_colors):
+            bs = ngs_apply(bs, _cons_slice(cons, k, cap), _slot_local(cmap, k, cap))
+    else:
+        bs = colored_pass(cfg.max_colors, lambda c, k: ngs_pass(c, cons, k, cmap), bs)
     return (bs, n, t, jimp)
 
 
@@ -102,12 +170,41 @@ def _init(bodies: Bodies):
     return pack_body_state(bodies.v, bodies.w, bodies.delta_pos, bodies.rot)
 
 
-def _finish(bodies, contacts, joints, cons, jcons, st):
+def _prep_contacts(bodies, contacts, colors, *, h, hertz, soft, warm_start):
+    """prepare_contacts, permuted into color-major buckets when step.py
+    appended a bucket table to `colors` (bucketed solve)."""
+    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=hertz, soft=soft, warm_start=warm_start)
+    bucket = _bucket(colors)
+    if bucket is not None:
+        from .common import bucket_contacts
+
+        cons, n, t = bucket_contacts(cons, n, t, bucket)
+    return cons, n, t
+
+
+def _prep_joints(bodies, joints, colors, *, h, hertz, soft, warm_start):
+    """prepare_joints, bucketed when step.py appended a joint bucket table."""
+    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=hertz, soft=soft, warm_start=warm_start)
+    jbucket = _jbucket(colors)
+    if jbucket is not None:
+        jcons, jimp = jk.bucket_joints(jcons, jimp, jbucket)
+    return jcons, jimp
+
+
+def _finish(bodies, contacts, joints, cons, jcons, st, bucket=None, jbucket=None):
     bs, n, t, jimp = st
     v, w, dp, rot = unpack_body_state(bs)
     bodies = finalize_positions(bodies, dp, rot, v, w)
-    contacts = store_impulses(contacts, cons, n, t)
-    joints = jk.store_impulses(joints, jcons, jimp)
+    if bucket is not None:
+        from .common import unbucket_impulses
+
+        contacts = unbucket_impulses(contacts, cons, bucket, n, t)
+    else:
+        contacts = store_impulses(contacts, cons, n, t)
+    if jbucket is not None:
+        joints = jk.store_impulses_bucketed(joints, jcons, jbucket, jimp)
+    else:
+        joints = jk.store_impulses(joints, jcons, jimp)
     return bodies, contacts, joints
 
 
@@ -117,8 +214,8 @@ def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     bs = _init(bodies)
     bs = integrate_velocities_packed(bodies, bs, gravity, h)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
         st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
@@ -131,7 +228,7 @@ def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
 
     st = sfori(cfg.iterations, it, st)
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
-    return _finish(bodies, contacts, joints, cons, jcons, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st, bucket=_bucket(colors), jbucket=_jbucket(colors))
 
 
 def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
@@ -140,8 +237,8 @@ def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
     inv_h = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), 0.0)
     bs = _init(bodies)
     bs = integrate_velocities_packed(bodies, bs, gravity, h)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
         st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
@@ -161,7 +258,7 @@ def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         return st
 
     st = sfori(cfg.extra_iterations, pos_it, st)
-    return _finish(bodies, contacts, joints, cons, jcons, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st, bucket=_bucket(colors), jbucket=_jbucket(colors))
 
 
 def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
@@ -171,9 +268,11 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
     ccolor, cmap = colors[0], colors[1]
     bs = _init(bodies)
     bs = integrate_velocities_packed(bodies, bs, gravity, h)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    # prepare_block is elementwise over cons rows, so its extras inherit the
+    # bucketed layout when cons is bucketed
     vbias, kmat, bmass, use_block, pmask_eff = ck.prepare_block(cons, inv_h)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     # warm start is applied unconditionally inside solver creation
     # (block.c:281-319); impulses are zero when warm_start is off
@@ -183,11 +282,24 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
     def it(_, st):
         st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True)
         bs, n, t, jimp = st
-        bs, n, t = colored_pass(
-            cfg.max_colors,
-            lambda c, k: ck.block_velocity_pass(c, k, cons, vbias, kmat, bmass, use_block, pmask_eff, ccolor, cmap),
-            (bs, n, t),
-        )
+        if _bucket(colors) is not None:
+            cap = cfg.contact_bucket_cap
+            for k in range(cfg.max_colors):
+                o = k * cap
+                sl = slice(o, o + cap)
+                bs, n2, t2 = ck.block_velocity_pass(
+                    (bs, n[sl], t[sl]), k, _cons_slice(cons, k, cap),
+                    vbias[sl], kmat[sl], bmass[sl], use_block[sl], pmask_eff[sl],
+                    None, None, direct=(_slot_local(cmap, k, cap), cmap.winner[sl]),
+                )
+                n = n.at[sl].set(n2)
+                t = t.at[sl].set(t2)
+        else:
+            bs, n, t = colored_pass(
+                cfg.max_colors,
+                lambda c, k: ck.block_velocity_pass(c, k, cons, vbias, kmat, bmass, use_block, pmask_eff, ccolor, cmap),
+                (bs, n, t),
+            )
         return (bs, n, t, jimp)
 
     st = sfori(cfg.iterations, it, st)
@@ -195,17 +307,26 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
 
     def pos_it(_, st):
         bs, n, t, jimp = st
-        bs = colored_pass(
-            cfg.max_colors,
-            lambda c, k: ck.block_position_pass(c, k, cons, use_block, ccolor, cmap),
-            bs,
-        )
+        if _bucket(colors) is not None:
+            cap = cfg.contact_bucket_cap
+            for k in range(cfg.max_colors):
+                sl = slice(k * cap, (k + 1) * cap)
+                bs = ck.block_position_pass(
+                    bs, k, _cons_slice(cons, k, cap), use_block[sl],
+                    None, None, direct=(_slot_local(cmap, k, cap), cmap.winner[sl]),
+                )
+        else:
+            bs = colored_pass(
+                cfg.max_colors,
+                lambda c, k: ck.block_position_pass(c, k, cons, use_block, ccolor, cmap),
+                bs,
+            )
         st = (bs, n, t, jimp)
         st = _joint_ngs(st, colors, cfg, jcons)
         return st
 
     st = sfori(cfg.extra_iterations, pos_it, st)
-    return _finish(bodies, contacts, joints, cons, jcons, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st, bucket=_bucket(colors), jbucket=_jbucket(colors))
 
 
 def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
@@ -221,8 +342,8 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
     joint_hertz = jnp.minimum(JOINT_HERTZ, 0.5 * inv_h)
     bs = _init(bodies)
     bs = integrate_velocities_packed(bodies, bs, gravity, h)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
         st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
@@ -242,7 +363,7 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
         return st
 
     st = sfori(cfg.extra_iterations, relax_it, st)
-    return _finish(bodies, contacts, joints, cons, jcons, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st, bucket=_bucket(colors), jbucket=_jbucket(colors))
 
 
 def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
@@ -255,7 +376,7 @@ def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     bs = _init(bodies)
     bs = integrate_velocities_packed(bodies, bs, gravity, h)
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
         st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
@@ -273,7 +394,7 @@ def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     st = sfori(cfg.iterations, it_factory(True), st)
     st = (integrate_positions_packed(bodies, st[0], h),) + st[1:]
     st = sfori(cfg.extra_iterations, it_factory(False), st)
-    return _finish(bodies, contacts, joints, cons, jcons, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st, bucket=_bucket(colors), jbucket=_jbucket(colors))
 
 
 def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, joint_hertz_factor, fixed_warm):
@@ -287,8 +408,8 @@ def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, join
     joint_hertz = jnp.minimum(JOINT_HERTZ, joint_hertz_factor * inv_h)
 
     bs = _init(bodies)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=True)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=joint_hertz, soft=True, warm_start=True)
     st = (bs, n, t, jimp)
 
     def substep(_, st):
@@ -309,7 +430,7 @@ def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, join
         return st
 
     st = sfori(cfg.iterations, substep, st)
-    return _finish(bodies, contacts, joints, cons, jcons, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st, bucket=_bucket(colors), jbucket=_jbucket(colors))
 
 
 def solve_tgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg):
@@ -339,7 +460,7 @@ def _solve_pallas(bodies, contacts, joints, colors, gravity, dt, cfg, *,
     cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=contact_hertz, soft=True, warm_start=cfg.warm_start)
     jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=joint_hertz, soft=True, warm_start=joint_warm)
     bs0 = _init(bodies)
-    ccolor, cmap, jcolor, jmap = colors
+    ccolor, cmap, jcolor, jmap = colors[0], colors[1], colors[2], colors[3]
     interpret = _jax.default_backend() not in ("tpu", "axon")
     bs, n, t, jimp = fused_solve(
         bodies, bs0, n, t, cons, gravity, ccolor, cmap, h, inv_h, cfg,
@@ -372,8 +493,8 @@ def solve_tgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
     h = dt / cfg.iterations
     inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
     bs = _init(bodies)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
 
     def substep(_, st):
@@ -393,7 +514,7 @@ def solve_tgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         return st
 
     st = sfori(cfg.iterations, substep, st)
-    return _finish(bodies, contacts, joints, cons, jcons, st)
+    return _finish(bodies, contacts, joints, cons, jcons, st, bucket=_bucket(colors), jbucket=_jbucket(colors))
 
 
 def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
@@ -404,8 +525,8 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
     ccolor, cmap = colors[0], colors[1]
     bs = _init(bodies)
     # sticky has no warm starting for contacts (sticky.c:59-60)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=False)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=0.0, soft=False, warm_start=False)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=False)
     lfa, lfb, tsep, stm, fric_store = ck.prepare_sticky(bodies.position, contacts, cons, bodies.rot)
     fric_persisted = jnp.ones_like(cons.active)
 
@@ -459,7 +580,10 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
         friction_anchor_a=faa, friction_anchor_b=fab,
         friction_persisted=fp & cons.active,
     )
-    joints = jk.store_impulses(joints, jcons, jimp)
+    if _jbucket(colors) is not None:
+        joints = jk.store_impulses_bucketed(joints, jcons, _jbucket(colors), jimp)
+    else:
+        joints = jk.store_impulses(joints, jcons, jimp)
     return bodies_out, contacts, joints
 
 
@@ -467,10 +591,10 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     """reference: src/solve_xpbd.c:342-530 (Mueller et al. 2020)."""
     h = dt / cfg.iterations
     inv_h = jnp.where(dt > 0, cfg.iterations / jnp.where(dt > 0, dt, 1.0), 0.0)
-    ccolor, cmap, jcolor, jmap = colors
+    ccolor, cmap, jcolor, jmap = colors[0], colors[1], colors[2], colors[3]
     bs = _init(bodies)
-    cons, n, t = prepare_contacts(bodies, contacts, h=h, hertz=0.0, soft=False, warm_start=False)
-    jcons, jimp = jk.prepare_joints(bodies, joints, h=h, hertz=0.0, soft=False, warm_start=False)
+    cons, n, t = _prep_contacts(bodies, contacts, colors, h=h, hertz=0.0, soft=False, warm_start=False)
+    jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=False)
 
     moving = bodies.alive & (bodies.type != 0)
     dyn = bodies.alive & (bodies.type == 2)
@@ -487,21 +611,39 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         bs = pack_body_state(v, w, dp, rot)
 
         # joint position projection (+ mouse velocity solve, joint.c:450-465)
-        bs = colored_pass(
-            cfg.joint_max_colors,
-            lambda c, k: jk.xpbd_pass(c, k, jcons, inv_h, jcolor, jmap),
-            bs,
-        )
+        if not cfg.solve_joints:
+            pass
+        elif _jbucket(colors) is not None:
+            jcap = cfg.joint_bucket_cap
+            for k in range(cfg.joint_max_colors):
+                bs = jk.xpbd_apply(bs, _cons_slice(jcons, k, jcap), inv_h, _slot_local(jmap, k, jcap))
+        else:
+            bs = colored_pass(
+                cfg.joint_max_colors,
+                lambda c, k: jk.xpbd_pass(c, k, jcons, inv_h, jcolor, jmap),
+                bs,
+            )
         st4 = (bs, n, t, jimp)
         st4 = _joint_gs(st4, colors, cfg, jcons, "rigid", h, inv_h, True, solve_mouse=True, only_mouse=True)
         bs, n, t, jimp = st4
 
         # contact position projection
-        bs, n, t = colored_pass(
-            cfg.max_colors,
-            lambda c, k: ck.xpbd_position_pass(c, k, cons, h, ccolor, cmap),
-            (bs, n, t),
-        )
+        if _bucket(colors) is not None:
+            cap = cfg.contact_bucket_cap
+            for k in range(cfg.max_colors):
+                o = k * cap
+                bs, n2, t2 = ck.xpbd_position_pass(
+                    (bs, n[o:o + cap], t[o:o + cap]), k, _cons_slice(cons, k, cap), h,
+                    None, None, direct=(_slot_local(cmap, k, cap), cmap.winner[o:o + cap]),
+                )
+                n = n.at[o:o + cap].set(n2)
+                t = t.at[o:o + cap].set(t2)
+        else:
+            bs, n, t = colored_pass(
+                cfg.max_colors,
+                lambda c, k: ck.xpbd_position_pass(c, k, cons, h, ccolor, cmap),
+                (bs, n, t),
+            )
 
         # derive velocities (xpbd.c:465-489)
         v, w, dp, rot = unpack_body_state(bs)
@@ -510,11 +652,22 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         bs = pack_body_state(v, w, dp, rot)
 
         # relax contact velocities
-        bs, n, t = colored_pass(
-            cfg.max_colors,
-            lambda c, k: ck.xpbd_velocity_pass(c, k, cons, h, inv_h, ccolor, cmap),
-            (bs, n, t),
-        )
+        if _bucket(colors) is not None:
+            cap = cfg.contact_bucket_cap
+            for k in range(cfg.max_colors):
+                o = k * cap
+                bs, n2, t2 = ck.xpbd_velocity_pass(
+                    (bs, n[o:o + cap], t[o:o + cap]), k, _cons_slice(cons, k, cap), h, inv_h,
+                    None, None, direct=(_slot_local(cmap, k, cap), cmap.winner[o:o + cap]),
+                )
+                n = n.at[o:o + cap].set(n2)
+                t = t.at[o:o + cap].set(t2)
+        else:
+            bs, n, t = colored_pass(
+                cfg.max_colors,
+                lambda c, k: ck.xpbd_velocity_pass(c, k, cons, h, inv_h, ccolor, cmap),
+                (bs, n, t),
+            )
         return (bs, n, t, jimp)
 
     st = sfori(cfg.iterations, substep, (bs, n, t, jimp))
@@ -530,8 +683,16 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         v=v, w=w, force=jnp.zeros_like(bodies.force), torque=jnp.zeros_like(bodies.torque),
     )
     # impulses stored scaled by inv_h for reporting only (xpbd.c:514-527)
-    contacts = store_impulses(contacts, cons, n * inv_h, t * inv_h)
-    joints = jk.store_impulses(joints, jcons, jimp)
+    if _bucket(colors) is not None:
+        from .common import unbucket_impulses
+
+        contacts = unbucket_impulses(contacts, cons, _bucket(colors), n * inv_h, t * inv_h)
+    else:
+        contacts = store_impulses(contacts, cons, n * inv_h, t * inv_h)
+    if _jbucket(colors) is not None:
+        joints = jk.store_impulses_bucketed(joints, jcons, _jbucket(colors), jimp)
+    else:
+        joints = jk.store_impulses(joints, jcons, jimp)
     return bodies_out, contacts, joints
 
 

@@ -190,43 +190,120 @@ def step(state: State, dt, config: SimConfig) -> State:
     dyn_mask = (bodies.type == 2) & bodies.alive
     touching = contacts.alive & (contacts.point_count > 0)
     joints_in = state.joints
+    # color-bucketed solve (see ops/coloring.py:build_color_buckets): only
+    # for solvers whose contact sweeps run the shared gs/ngs passes, and only
+    # with incremental coloring (capacity-aware assignment keeps colors
+    # within the bucket cap)
+    from .config import BUCKETABLE_SOLVERS
+
+    bucketed = (
+        config.contact_bucket_cap > 0
+        and config.solver in BUCKETABLE_SOLVERS
+        and config.incremental_coloring
+        and not config.use_pallas_solver
+    )
+    jbucketed = (
+        config.joint_bucket_cap > 0
+        and config.incremental_coloring
+        and not config.use_pallas_solver
+        and config.solve_joints
+    )
     if config.incremental_coloring:
         # persistent colors ride the contact table / joint state; only new
         # constraints pay coloring rounds (ops/coloring.py:assign_colors)
         ccolor, c_overflow = coloring.assign_colors(
             contacts.color, contacts.body_a, contacts.body_b, touching, dyn_mask,
             config.max_bodies, config.max_colors, rounds=config.color_rounds,
+            bucket_cap=config.contact_bucket_cap if bucketed else 0,
         )
         contacts = dataclasses.replace(contacts, color=ccolor)
-        jcolor, j_overflow = coloring.assign_colors(
-            joints_in.color, joints_in.body_a, joints_in.body_b, joints_in.alive,
-            dyn_mask, config.max_bodies, config.joint_max_colors,
-            rounds=config.color_rounds,
-        )
-        joints_in = dataclasses.replace(joints_in, color=jcolor)
         c_active = touching & (ccolor >= 0)
-        j_active = joints_in.alive & (jcolor >= 0)
+        if config.solve_joints:
+            jcolor, j_overflow = coloring.assign_colors(
+                joints_in.color, joints_in.body_a, joints_in.body_b, joints_in.alive,
+                dyn_mask, config.max_bodies, config.joint_max_colors,
+                rounds=config.color_rounds,
+                bucket_cap=config.joint_bucket_cap if jbucketed else 0,
+            )
+            joints_in = dataclasses.replace(joints_in, color=jcolor)
+            j_active = joints_in.alive & (jcolor >= 0)
     else:
         ccolor, c_overflow = coloring.color_graph(
             contacts.body_a, contacts.body_b, touching, dyn_mask, config.max_bodies, config.max_colors
         )
-        jcolor, j_overflow = coloring.color_graph(
-            joints_in.body_a, joints_in.body_b, joints_in.alive, dyn_mask,
-            config.max_bodies, config.joint_max_colors,
-        )
         c_active = touching
-        j_active = joints_in.alive
-    cmap = make_body_map(
-        contacts.body_a, contacts.body_b, ccolor, c_active, dyn_mask,
-        config.max_bodies, config.max_colors,
-    )
-    jmap = make_body_map(
-        joints_in.body_a, joints_in.body_b, jcolor, j_active, dyn_mask,
-        config.max_bodies, config.joint_max_colors,
-        write_a_extra=joints_in.type != 1,  # mouse joints never write body A
-    )
-    colors = (ccolor, cmap, jcolor, jmap)
-    c_overflow = c_overflow + (c_active & ~cmap.winner).sum()
+        if config.solve_joints:
+            jcolor, j_overflow = coloring.color_graph(
+                joints_in.body_a, joints_in.body_b, joints_in.alive, dyn_mask,
+                config.max_bodies, config.joint_max_colors,
+            )
+            j_active = joints_in.alive
+    if not config.solve_joints:
+        # joint phases are statically skipped (config.solve_joints): no
+        # coloring, no body-map scatter — just inert placeholders so the
+        # solver signatures stay uniform
+        jcolor = joints_in.color
+        j_overflow = jnp.int32(0)
+        j_active = jnp.zeros_like(joints_in.alive)
+    if bucketed:
+        cap = config.contact_bucket_cap
+        bucket, ccolor, bucket_drop = coloring.build_color_buckets(
+            ccolor, c_active, config.max_colors, cap
+        )
+        contacts = dataclasses.replace(contacts, color=ccolor)
+        bi = jnp.maximum(bucket, 0)
+        active_b = tgather(c_active, bi) & (bucket >= 0)
+        color_b = jnp.repeat(
+            jnp.arange(config.max_colors, dtype=jnp.int32), cap, total_repeat_length=config.max_colors * cap
+        )
+        cmap = make_body_map(
+            tgather(contacts.body_a, bi), tgather(contacts.body_b, bi),
+            color_b, active_b, dyn_mask, config.max_bodies, config.max_colors,
+        )
+        c_overflow = c_overflow + bucket_drop + (active_b & ~cmap.winner).sum()
+    else:
+        cmap = make_body_map(
+            contacts.body_a, contacts.body_b, ccolor, c_active, dyn_mask,
+            config.max_bodies, config.max_colors,
+        )
+        c_overflow = c_overflow + (c_active & ~cmap.winner).sum()
+    if jbucketed:
+        jcap = config.joint_bucket_cap
+        jbucket, jcolor, jbucket_drop = coloring.build_color_buckets(
+            jcolor, j_active, config.joint_max_colors, jcap
+        )
+        joints_in = dataclasses.replace(joints_in, color=jcolor)
+        jbi = jnp.maximum(jbucket, 0)
+        jactive_b = tgather(j_active, jbi) & (jbucket >= 0)
+        jcolor_b = jnp.repeat(
+            jnp.arange(config.joint_max_colors, dtype=jnp.int32), jcap,
+            total_repeat_length=config.joint_max_colors * jcap,
+        )
+        jmap = make_body_map(
+            tgather(joints_in.body_a, jbi), tgather(joints_in.body_b, jbi),
+            jcolor_b, jactive_b, dyn_mask, config.max_bodies, config.joint_max_colors,
+            write_a_extra=tgather(joints_in.type, jbi) != 1,
+        )
+        j_overflow = j_overflow + jbucket_drop + (jactive_b & ~jmap.winner).sum()
+    elif not config.solve_joints:
+        from .solvers.common import BodyMap
+
+        jmap = BodyMap(
+            slot=jnp.full((config.max_bodies, config.joint_max_colors), -1, jnp.int32),
+            winner=jnp.zeros((config.max_joints,), bool),
+        )
+    else:
+        jmap = make_body_map(
+            joints_in.body_a, joints_in.body_b, jcolor, j_active, dyn_mask,
+            config.max_bodies, config.joint_max_colors,
+            write_a_extra=joints_in.type != 1,  # mouse joints never write body A
+        )
+    if bucketed or jbucketed:
+        colors = (ccolor, cmap, jcolor, jmap,
+                  bucket if bucketed else None,
+                  jbucket if jbucketed else None)
+    else:
+        colors = (ccolor, cmap, jcolor, jmap)
 
     # Stage 3c: solve
     solver_fn = SOLVERS[config.solver]

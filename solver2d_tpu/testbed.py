@@ -42,13 +42,15 @@ def run_scene(
     render_every: int = 0,
     draw_options=None,
     verbose: bool = True,
+    bucket_cap: int = 0,
 ):
     dt = 1.0 / hertz if hertz > 0 else 0.0
     runs = {}
     for solver in solvers:
         scene = build(category, name, solver)
         state, cfg = scene.freeze(
-            iterations=iterations, extra_iterations=extra_iterations, warm_start=warm_start
+            iterations=iterations, extra_iterations=extra_iterations, warm_start=warm_start,
+            contact_bucket_cap=bucket_cap,
         )
         stepf = make_step(cfg)
         runs[solver] = dict(scene=scene, state=state, cfg=cfg, stepf=stepf, ms=0.0)
@@ -135,6 +137,8 @@ def main(argv=None):
     p.add_argument("--no-warm-start", action="store_true")
     p.add_argument("--multi-steps", type=int, default=1,
                    help="world-steps per frame (reference: samples/sample.cpp:130-137)")
+    p.add_argument("--bucket-cap", type=int, default=0,
+                   help="color-bucketed solve per-color capacity (-1 auto, 0 dense)")
     p.add_argument("--render", default=None, help="output PNG path")
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--interactive", action="store_true",
@@ -197,6 +201,7 @@ def main(argv=None):
         multi_steps=args.multi_steps,
         render=args.render, render_every=args.render_every,
         draw_options=opts,
+        bucket_cap=args.bucket_cap,
     )
     return 0
 

@@ -424,6 +424,19 @@ class World:
         assert config.max_shapes * config.max_shapes < (1 << 31), (
             "max_shapes too large for int32 pair keys"
         )
+        assert config.solve_joints or not any(j.alive for j in self.joints), (
+            "solve_joints=False is a joint-free-scene optimization; this "
+            "scene has live joints (they would be silently ignored)"
+        )
+        if config.contact_bucket_cap < 0:
+            # auto-size the bucketed solve's per-color capacity: 2x uniform
+            # share of the contact table (rounded up to a multiple of 8)
+            # gives the capacity-aware coloring room to balance colors
+            cap = -(-2 * config.max_contacts // config.max_colors)
+            config = config.replace(contact_bucket_cap=(cap + 7) // 8 * 8)
+        if config.joint_bucket_cap < 0:
+            jcap = -(-2 * config.max_joints // config.joint_max_colors)
+            config = config.replace(joint_bucket_cap=(jcap + 7) // 8 * 8)
         if config.incremental_coloring and (config.max_colors > 30 or config.joint_max_colors > 30):
             # assign_colors packs used colors into an i32 bitmask; fall back
             # to per-step MIS coloring rather than failing at trace time

@@ -127,8 +127,13 @@ def test_lanes_matches_xla_warm_cache():
 
 
 def test_pallas_interpret_matches_xla():
-    """The Pallas kernel (interpret mode on CPU) agrees with both paths."""
-    args = _random_batch(64, seed=11)
+    """The Pallas kernel (interpret mode on CPU) agrees with both paths.
+
+    16 pairs, not 64: interpret mode executes the kernel per-op on the host
+    and its runtime scales with the lane count — at 64 pairs this test alone
+    pushed the file past the suite's 4h timeout on the 1-core box
+    (TESTLOG_r04 rc=124); 16 pairs still covers all four geometry kinds."""
+    args = _random_batch(16, seed=11)
     ref = _ref(*args)
     lanes = _lanes_inputs(*args)
     fout, iout, cout = jax.jit(
