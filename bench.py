@@ -61,8 +61,11 @@ def main():
         contact_bucket_cap=bucket,
         # the pyramid has zero joints; skip the empty joint table's
         # joint_max_colors serialized solve phases per sweep (see
-        # config.solve_joints — the reference costs nothing for zero joints)
-        solve_joints=os.environ.get("S2_BENCH_NOJOINTS", "0") != "1",
+        # config.solve_joints — the reference costs nothing for zero joints).
+        # Measured on chip (campaign H): 114.0 vs 109.5 wsps at the default
+        # 512x1954 configuration. Default ON; S2_BENCH_NOJOINTS=0 re-enables
+        # the empty joint phases for A/B runs.
+        solve_joints=os.environ.get("S2_BENCH_NOJOINTS", "1") != "1",
     )
 
     vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
@@ -155,6 +158,7 @@ def _emit(worlds, base, n_bodies, steps, solver, narrow, cfg, chunk, hostchunk, 
                     "gjk_iters": cfg.gjk_iters,
                     "pallas_solver": cfg.use_pallas_solver,
                     "bucket_cap": cfg.contact_bucket_cap,
+                    "solve_joints": cfg.solve_joints,
                     "chunk": chunk,
                     "hostchunk": hostchunk,
                 },

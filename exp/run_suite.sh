@@ -3,15 +3,23 @@
 # Per-file invocations so one hang can't eat the whole run; fast files first
 # so regressions surface early. Appends one summary line per file plus a
 # final tally to TESTLOG_rN.txt.
-# Usage: bash exp/run_suite.sh [round]   (default: 04)
+# Usage: bash exp/run_suite.sh [round] [resume]   (default: 04)
+#   resume: keep the existing TESTLOG and only run files it has no PASSING
+#   line for yet (fills in a run that was cut off by a session restart).
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
 ROUND="${1:-04}"
+MODE="${2:-fresh}"
 OUT="TESTLOG_r${ROUND}.txt"
 
-echo "# Test log round ${ROUND} — $(date -u +%Y-%m-%dT%H:%M:%SZ)" > "$OUT"
-echo "# git $(git rev-parse --short HEAD 2>/dev/null) ($(git status --porcelain | wc -l) dirty files)" >> "$OUT"
+if [ "$MODE" != "resume" ] || [ ! -e "$OUT" ]; then
+  echo "# Test log round ${ROUND} — $(date -u +%Y-%m-%dT%H:%M:%SZ)" > "$OUT"
+  echo "# git $(git rev-parse --short HEAD 2>/dev/null) ($(git status --porcelain | wc -l) dirty files)" >> "$OUT"
+else
+  echo "# resumed $(date -u +%Y-%m-%dT%H:%M:%SZ) at git $(git rev-parse --short HEAD 2>/dev/null)" >> "$OUT"
+fi
 
 # fast unit files first, behavior/oracle files last
 FILES="test_math_geometry.py test_gather.py test_handles.py test_coloring.py \
@@ -23,6 +31,9 @@ test_solvers.py test_large_scenes.py"
 fail=0
 for f in $FILES; do
   [ -e "tests/$f" ] || continue
+  if [ "$MODE" = "resume" ] && grep -q "^tests/$f: .*rc=0\]" "$OUT"; then
+    continue
+  fi
   t0=$(date +%s)
   timeout 14400 python -m pytest "tests/$f" -q > /tmp/suite_one.log 2>&1
   rc=$?
