@@ -63,9 +63,10 @@ def main():
         # joint_max_colors serialized solve phases per sweep (see
         # config.solve_joints — the reference costs nothing for zero joints).
         # Measured on chip (campaign H): 114.0 vs 109.5 wsps at the default
-        # 512x1954 configuration. Default ON; S2_BENCH_NOJOINTS=0 re-enables
-        # the empty joint phases for A/B runs.
-        solve_joints=os.environ.get("S2_BENCH_NOJOINTS", "1") != "1",
+        # 512x1954 configuration. Default ON; ONLY the literal "0" re-enables
+        # the empty joint phases for A/B runs (ADVICE r4: any other value —
+        # "true", "2" — keeps the default skip rather than inverting it).
+        solve_joints=os.environ.get("S2_BENCH_NOJOINTS", "1") == "0",
     )
 
     vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))

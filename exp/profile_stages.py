@@ -37,6 +37,7 @@ state, cfg = w.freeze(
     gjk_iters=10,
     narrowphase=NARROW,
     contact_bucket_cap=BUCKET,
+    solve_joints=os.environ.get("S2_PROF_NOJOINTS", "0") != "1",
 )
 print(f"bodies={len(ids)+1} max_bodies={cfg.max_bodies} max_contacts={cfg.max_contacts} "
       f"max_shapes={cfg.max_shapes} worlds={WORLDS}", flush=True)

@@ -22,25 +22,28 @@ else
 fi
 
 # fast unit files first, behavior/oracle files last; test_narrow_lanes runs
-# late — it hit the 4h per-file timeout once (round 4) and must not starve
-# the files behind it
+# LAST (ADVICE r4) — it hit the 4h per-file timeout once (round 4) and must
+# not starve any file behind it
 FILES="test_math_geometry.py test_gather.py test_handles.py test_coloring.py \
 test_broadphase.py test_gjk.py test_manifold.py \
 test_native.py test_queries.py test_bucketed.py test_aux.py test_dryrun.py \
 test_color_overflow.py test_scenes.py test_pallas_solver.py test_behavior.py \
-test_solvers.py test_narrow_lanes.py test_large_scenes.py"
+test_solvers.py test_large_scenes.py test_narrow_lanes.py"
 
+HEAD_HASH=$(git rev-parse --short HEAD 2>/dev/null)
 fail=0
 for f in $FILES; do
   [ -e "tests/$f" ] || continue
-  if [ "$MODE" = "resume" ] && grep -q "^tests/$f: .*rc=0\]" "$OUT"; then
+  # resume only trusts green lines recorded at the SAME commit (ADVICE r4:
+  # a resumed log must not mix pass results from two code versions)
+  if [ "$MODE" = "resume" ] && grep -q "^tests/$f: .*rc=0 git=${HEAD_HASH}\]" "$OUT"; then
     continue
   fi
   t0=$(date +%s)
   timeout 14400 python -m pytest "tests/$f" -q > /tmp/suite_one.log 2>&1
   rc=$?
   dt=$(( $(date +%s) - t0 ))
-  echo "tests/$f: $(tail -1 /tmp/suite_one.log)  [${dt}s rc=$rc]" >> "$OUT"
+  echo "tests/$f: $(tail -1 /tmp/suite_one.log)  [${dt}s rc=$rc git=${HEAD_HASH}]" >> "$OUT"
   [ $rc -ne 0 ] && fail=1
 done
 echo "# done $(date -u +%Y-%m-%dT%H:%M:%SZ) overall_fail=$fail" >> "$OUT"

@@ -100,6 +100,16 @@ class InteractiveTestbed:
         self.sample_idx = (self.sample_idx + delta) % len(self.catalog)
         self.restart()
 
+    def _change_iterations(self, delta):
+        """Live primary-iteration adjust (reference: main.cpp:218-224, keys
+        9/0 step s_settings.primaryIterations with a floor of 1). Iteration
+        count is config-only — state shape is unchanged — so each run keeps
+        its simulation state and just swaps in a re-specialized step."""
+        self.iterations = max(1, self.iterations + delta)
+        for run in self.runs.values():
+            run.cfg = run.cfg.replace(iterations=self.iterations)
+            run.stepf = make_step(run.cfg)
+
     def _change_solver(self, delta):
         """Cycle the solver under the cursor through the enum
         (reference: main.cpp:204-228 changes the sample's solver set)."""
@@ -128,6 +138,10 @@ class InteractiveTestbed:
             self._change_solver(-1)
         elif k == ".":
             self._change_solver(+1)
+        elif k == "9":
+            self._change_iterations(-1)
+        elif k == "0":
+            self._change_iterations(+1)
         elif k == "q":
             import matplotlib.pyplot as plt
 

@@ -345,9 +345,20 @@ def step(state: State, dt, config: SimConfig) -> State:
     )
 
 
+_STEP_CACHE: dict = {}
+
+
 def make_step(config: SimConfig):
-    """Returns step(state, dt) jitted and specialized for `config`."""
-    return jax.jit(partial(step, config=config))
+    """Returns step(state, dt) jitted and specialized for `config`.
+
+    Memoized per config: SimConfig is hashable/immutable, and a fresh
+    jax.jit wrapper per call would re-trace the full step program each time
+    (minutes on a 1-core host for the larger solver programs — the round-4
+    test suite paid this repeatedly in test_aux.py)."""
+    f = _STEP_CACHE.get(config)
+    if f is None:
+        f = _STEP_CACHE.setdefault(config, jax.jit(partial(step, config=config)))
+    return f
 
 
 def run(state: State, config: SimConfig, steps: int, dt=1.0 / 60.0):

@@ -22,7 +22,11 @@ pytestmark = pytest.mark.fast
 
 
 def _simple_world():
-    w = World(solver=SolverType.TGS_SOFT)
+    # PGS, not TGS_SOFT: these are aux-subsystem tests (checkpoint, draw,
+    # stats) — any solver produces the persisted contacts they assert on,
+    # and the PGS step program traces/compiles in a fraction of the time
+    # (test_aux took 47 min in round 4, mostly step compiles)
+    w = World(solver=SolverType.PGS)
     g = w.create_body(type=BodyType.STATIC, position=(0, -1))
     w.create_polygon_shape(g, geometry.box(10, 1))
     b = w.create_body(type=BodyType.DYNAMIC, position=(0, 1.0))
@@ -192,6 +196,18 @@ def test_interactive_testbed(tmp_path):
     # R restarts the sample
     tb.on_key(key("r"))
     assert tb.step_count == 0
+
+    # 9/0 adjust primary iterations live with a floor of 1 (main.cpp:218-224);
+    # ends back at the original count so no new program is compiled below
+    it0 = tb.iterations
+    tb.on_key(key("0"))
+    assert tb.iterations == it0 + 1
+    for _ in range(it0 + 1):
+        tb.on_key(key("9"))
+    assert tb.iterations == 1
+    for _ in range(it0 - 1):
+        tb.on_key(key("0"))
+    assert tb.iterations == it0
 
     # sample & solver cycling rebuild without stepping (no new compile here)
     idx0 = tb.sample_idx

@@ -107,7 +107,10 @@ def _assert_match(ref, fout, iout, cout):
 
 
 def test_lanes_matches_xla_random_pairs():
-    args = _random_batch(128, seed=3)
+    # 64 pairs, same lane count as the warm-cache test below, so both tests
+    # share ONE compiled program per path (the 1-core box pays minutes per
+    # distinct batch shape; 64 random pairs still cover all 10 type pairs)
+    args = _random_batch(64, seed=3)
     ref = _ref(*args)
     lanes = _lanes_inputs(*args)
     fout, iout, cout = jax.jit(partial(collide_lanes_xla, gjk_iters=GJK_ITERS))(*lanes)
@@ -143,13 +146,18 @@ def test_pallas_interpret_matches_xla():
 
 
 def test_step_with_lanes_narrowphase_matches_xla():
-    """Full step with narrowphase='lanes' equals narrowphase='xla'."""
+    """Full step with narrowphase='lanes' equals narrowphase='xla'.
+
+    PGS, not TGS_SOFT: the narrowphase runs identically under every solver
+    and the PGS step program compiles in a fraction of the TGS_SOFT time on
+    this 1-core box (TESTLOG_r04: this file timed out at 4h; the two step
+    compiles here were the second-largest cost after the interpret test)."""
     from solver2d_tpu.config import SolverType
     from solver2d_tpu.models.contact_scenes import pyramid_world
     from solver2d_tpu.step import step
 
-    w, _ = pyramid_world(SolverType.TGS_SOFT, base_count=4)
-    state, cfg = w.freeze(max_colors=8, gjk_iters=GJK_ITERS)
+    w, _ = pyramid_world(SolverType.PGS, base_count=4)
+    state, cfg = w.freeze(max_colors=6, gjk_iters=GJK_ITERS)
     f_xla = jax.jit(partial(step, config=cfg.replace(narrowphase="xla")))
     f_lan = jax.jit(partial(step, config=cfg.replace(narrowphase="lanes")))
     sx, sl = state, state

@@ -13,7 +13,10 @@ pytestmark = pytest.mark.fast
 
 @pytest.fixture(scope="module")
 def scene():
-    w = World(solver=SolverType.TGS_SOFT)
+    # PGS: queries are solver-independent and the PGS step program (used
+    # only by the mouse-drag test) compiles far faster than TGS_SOFT on
+    # this 1-core box (test_queries took 29 min in round 4)
+    w = World(solver=SolverType.PGS)
     g = w.create_body(type=BodyType.STATIC, position=(0, -1))
     w.create_polygon_shape(g, geometry.box(10, 1))
     box = w.create_body(type=BodyType.DYNAMIC, position=(0.0, 0.5))
@@ -88,7 +91,7 @@ def test_raycast_accelerated_matches_bruteforce():
     (the analog of tree raycast, reference: src/dynamic_tree.c:1213-1315)."""
     from solver2d_tpu.models.contact_scenes import pyramid_world
 
-    w, _ = pyramid_world(SolverType.TGS_SOFT, base_count=12)  # 79 shapes
+    w, _ = pyramid_world(SolverType.PGS, base_count=12)  # 79 shapes (never stepped)
     state, cfg = w.freeze(max_colors=8)
     S = int(state.shapes.verts.shape[0])
     assert S > 64  # accelerated path active at the default max_candidates
