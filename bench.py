@@ -23,7 +23,7 @@ def main():
     from solver2d_tpu.config import SolverType
     from solver2d_tpu.models.contact_scenes import pyramid_world
     from solver2d_tpu.parallel import replicate_state
-    from solver2d_tpu.step import step
+    from solver2d_tpu.step import step, step_batch
 
     # Defaults ARE the north-star configuration (BASELINE.md): base-62
     # pyramid (1954 bodies/world) at 512 worlds, host-chunked into 64-world
@@ -46,6 +46,12 @@ def main():
     # (exp/chip_r4.log), while host chunking keeps every device allocation at
     # the proven chunk scale.
     hostchunk = int(os.environ.get("S2_BENCH_HOSTCHUNK", "64"))
+    # lane-batched solve (solvers/lane_solve.py): shared constraint structure,
+    # worlds in lanes — solve row-gather cost stops scaling with the batch.
+    # Default ON (measured round 5: 245.9 vs 114.0 wsps at the official
+    # 512x1954 configuration, same physics line, overflow 0); S2_BENCH_LANE=0
+    # restores the per-world bucketed solve for A/B runs.
+    lane = os.environ.get("S2_BENCH_LANE", "1") != "0"
 
     w, ids = pyramid_world(solver, base_count=base)
     n_bodies = len(ids) + 1
@@ -67,9 +73,10 @@ def main():
         # the empty joint phases for A/B runs (ADVICE r4: any other value —
         # "true", "2" — keeps the default skip rather than inverting it).
         solve_joints=os.environ.get("S2_BENCH_NOJOINTS", "1") == "0",
+        lane_solve=lane,
     )
 
-    vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+    vstep = partial(step_batch, config=cfg)
     if hostchunk and hostchunk < worlds:
         assert worlds % hostchunk == 0, (worlds, hostchunk)
 
@@ -160,6 +167,7 @@ def _emit(worlds, base, n_bodies, steps, solver, narrow, cfg, chunk, hostchunk, 
                     "pallas_solver": cfg.use_pallas_solver,
                     "bucket_cap": cfg.contact_bucket_cap,
                     "solve_joints": cfg.solve_joints,
+                    "lane_solve": cfg.lane_solve,
                     "chunk": chunk,
                     "hostchunk": hostchunk,
                 },

@@ -25,7 +25,7 @@ from solver2d_tpu.config import SolverType
 from solver2d_tpu.models.contact_scenes import pyramid_world
 from solver2d_tpu.models.joint_scenes import joint_grid
 from solver2d_tpu.parallel import replicate_state
-from solver2d_tpu.step import step
+from solver2d_tpu.step import step, step_batch
 
 STEPS = int(os.environ.get("S2_FS_STEPS", "30"))
 NARROW = os.environ.get("S2_FS_NARROW", "xla")
@@ -33,7 +33,7 @@ NARROW = os.environ.get("S2_FS_NARROW", "xla")
 
 def timeblock(name, state, cfg, worlds=1, steps=STEPS, chunk=0):
     if worlds > 1:
-        vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+        vstep = partial(step_batch, config=cfg)
         state = replicate_state(state, worlds)
         if chunk and chunk < worlds:
             # Chunked stepping: lax.map serializes the batch through
@@ -123,7 +123,7 @@ def timeblock_hostchunk(name, state, cfg, worlds, chunk, steps=STEPS):
     the already-compiled chunk program."""
     assert worlds % chunk == 0
     nc = worlds // chunk
-    vstep = jax.vmap(partial(step, config=cfg), in_axes=(0, None))
+    vstep = partial(step_batch, config=cfg)
 
     @partial(jax.jit, donate_argnums=0)
     def run(b):
@@ -159,14 +159,16 @@ def northstar():
     hostchunk = int(os.environ.get("S2_FS_HOSTCHUNK", "0"))
     chunk = int(os.environ.get("S2_FS_CHUNK", "0"))
     bucket = int(os.environ.get("S2_FS_BUCKET", "0"))  # -1 = auto cap
+    lane = os.environ.get("S2_FS_LANE", "0") == "1"
     w, ids = pyramid_world(SolverType.TGS_SOFT, base_count=62)  # 1953 boxes
     state, cfg = w.freeze(
         max_contacts=((4 * len(ids) + 127) // 128) * 128, gjk_iters=10, narrowphase=NARROW,
         max_colors=int(os.environ.get("S2_FS_COLORS", "12")),
-        contact_bucket_cap=bucket,
+        contact_bucket_cap=bucket if not lane else (bucket or -1),
         # S2_FS_NOJOINTS=1: statically skip the empty joint table's
         # joint_max_colors serialized phases per sweep (config.solve_joints)
         solve_joints=os.environ.get("S2_FS_NOJOINTS", "0") != "1",
+        lane_solve=lane,
     )
     print(f"northstar: {worlds} worlds x {len(ids)+1} bodies, C={cfg.max_contacts} "
           f"S={cfg.max_shapes} colors={cfg.max_colors} bucket={cfg.contact_bucket_cap} "

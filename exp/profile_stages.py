@@ -189,6 +189,38 @@ def solve_fn(b):
     return out
 
 
+def lanesolve_fn(b):
+    """The lane-batched solve in isolation (structure build + solve), on the
+    settled batch. S2_PROF_NOJOINTS=1 required (lane covers contacts only)."""
+    from solver2d_tpu.solvers.lane_solve import build_lane_structure, lane_solve
+
+    lane_cfg = cfg.replace(lane_solve=True, solve_joints=False)
+    dyn0 = (b.bodies.type[0] == 2) & b.bodies.alive[0]
+
+    def body(carry, _):
+        bodies = carry
+        struct = build_lane_structure(b.contacts, dyn0, lane_cfg)
+        nb, _, _ = lane_solve(bodies, b.contacts, struct, b.gravity[0],
+                              jnp.float32(1 / 60), lane_cfg)
+        return nb, None
+
+    out, _ = jax.lax.scan(body, b.bodies, None, length=ITERS)
+    return out
+
+
+def lanefull_fn(b):
+    """Full step_batch with the lane solve."""
+    from solver2d_tpu.step import step_batch
+
+    lane_cfg = cfg.replace(lane_solve=True, solve_joints=False)
+
+    def body(s, _):
+        return step_batch(s, jnp.float32(1 / 60), lane_cfg), None
+
+    out, _ = jax.lax.scan(body, b, None, length=ITERS)
+    return out
+
+
 STAGES = {
     "full": full_fn,
     "broad": broad_fn,
@@ -196,6 +228,8 @@ STAGES = {
     "color": color_fn,
     "colorinc": colorinc_fn,
     "solve": solve_fn,
+    "lanesolve": lanesolve_fn,
+    "lanefull": lanefull_fn,
 }
 
 names = sys.argv[1:] or list(STAGES)

@@ -76,6 +76,17 @@ BUCKETABLE_SOLVERS = frozenset(
     }
 )
 
+# Solvers implemented by the lane-batched solve (SimConfig.lane_solve,
+# solvers/lane_solve.py): the soft family whose contact sweeps are the shared
+# gs passes over prepared soft constraints.
+LANE_SOLVERS = frozenset(
+    {
+        SolverType.PGS_SOFT,
+        SolverType.SOFT_STEP,
+        SolverType.TGS_SOFT,
+    }
+)
+
 
 class BodyType(enum.IntEnum):
     """reference: include/solver2d/types.h:99-105"""
@@ -182,6 +193,20 @@ class SimConfig:
     # is solved only when this is True, which is why it is not auto-derived —
     # the interactive testbed drags contact-only scenes.
     solve_joints: bool = True
+
+    # Lane-batched solve (solvers/lane_solve.py, used by parallel.step_batch):
+    # share the constraint STRUCTURE (colors, buckets, body map) across a
+    # lockstep world batch and put worlds in the minor (lane) dimension —
+    # body state becomes [B, W*8] and every solve-phase row-gather carries
+    # all W worlds in one row. TPU row-gathers cost ~constant per ROW, so
+    # the per-world path pays rows x W per phase while this pays rows x 1
+    # (measured: solve was ~85% of the north-star step). Structure comes
+    # from world 0; worlds whose contact at a slot has diverged from world
+    # 0's pair are masked out of that constraint for the step and counted in
+    # diag.color_overflow (lockstep batches — the replicate_state contract —
+    # never diverge). Requires a bucketed solver config; contacts only
+    # (freeze asserts solve_joints=False).
+    lane_solve: bool = False
 
     # Persistent incremental coloring (ops/coloring.py:assign_colors): colors
     # ride the contact/joint state across steps; only new constraints pay

@@ -135,19 +135,33 @@ def _effective_masses(rA, rB, normal, mA, iA, mB, iB):
     return nm, tm
 
 
-def prepare_contacts(bodies: Bodies, contacts: Contacts, *, h, hertz, soft: bool, warm_start: bool):
-    """PGS prep (reference: src/solve_common.c:93-168) and soft prep
-    (:188-274) in one kernel; `soft` selects the coefficient model.
-
-    Returns (cons, normal_impulse, tangent_impulse)."""
-    ia, ib = contacts.body_a, contacts.body_b
-    # one packed row-gather per endpoint (TPU row-gathers have a large fixed
-    # per-row cost): [inv_mass, inv_I, rot(2), local_center(2)]
-    bconst = jnp.concatenate(
+def body_const_rows(bodies: Bodies):
+    """The packed per-body constant rows prepare_contacts gathers:
+    [inv_mass, inv_I, rot(2), local_center(2)]."""
+    return jnp.concatenate(
         [bodies.inv_mass[:, None], bodies.inv_inertia[:, None], bodies.rot, bodies.local_center],
         axis=-1,
     )
-    ra, rb = tgather(bconst, ia), tgather(bconst, ib)
+
+
+def prepare_contacts(bodies: Bodies, contacts: Contacts, *, h, hertz, soft: bool, warm_start: bool,
+                     body_rows=None):
+    """PGS prep (reference: src/solve_common.c:93-168) and soft prep
+    (:188-274) in one kernel; `soft` selects the coefficient model.
+
+    body_rows: optional pre-gathered (ra, rb) endpoint constant rows (the
+    lane-batched path gathers them with shared wide-row indices, see
+    solvers/lane_solve.py); default gathers per contact here.
+
+    Returns (cons, normal_impulse, tangent_impulse)."""
+    ia, ib = contacts.body_a, contacts.body_b
+    if body_rows is None:
+        # one packed row-gather per endpoint (TPU row-gathers have a large
+        # fixed per-row cost)
+        bconst = body_const_rows(bodies)
+        ra, rb = tgather(bconst, ia), tgather(bconst, ib)
+    else:
+        ra, rb = body_rows
     mA, iA, qA, lcA = ra[:, 0], ra[:, 1], ra[:, 2:4], ra[:, 4:6]
     mB, iB, qB, lcB = rb[:, 0], rb[:, 1], rb[:, 2:4], rb[:, 4:6]
 

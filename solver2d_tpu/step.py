@@ -164,8 +164,9 @@ def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20, impl
     )
 
 
-def step(state: State, dt, config: SimConfig) -> State:
-    """One simulation step. `config` must be static under jit."""
+def _pre_solve(state: State, config: SimConfig):
+    """Stages 1-3a: broadphase pair update, persistent matching, narrowphase.
+    Returns (contacts, pairs, shape_body_type)."""
     shapes = state.shapes
     bodies = state.bodies
 
@@ -182,6 +183,52 @@ def step(state: State, dt, config: SimConfig) -> State:
     contacts = update_manifolds(
         state, contacts, gjk_iters=config.gjk_iters, impl=config.narrowphase
     )
+    return contacts, pairs, shape_body_type
+
+
+def _post_solve(state: State, new_bodies, contacts, joints, pairs, shape_body_type,
+                touching, c_overflow, j_overflow, config: SimConfig) -> State:
+    """Stage 4: AABB + fat-AABB hysteresis update, diagnostics, new State."""
+    shapes = state.shapes
+    new_pose = jnp.concatenate([new_bodies.origin, new_bodies.rot], axis=-1)
+    shape_pose = tgather(new_pose, shapes.body)
+    aabbs = compute_aabbs(
+        shapes.verts, shapes.normals, shapes.count, shapes.radius,
+        shape_pose[:, 0:2], shape_pose[:, 2:4],
+    )
+    aabbs = aabbs + jnp.array([-1.0, -1.0, 1.0, 1.0], jnp.float32) * SPECULATIVE_DISTANCE
+    fat = broadphase.update_fat_aabbs(shapes, aabbs, shape_body_type)
+    new_shapes = dataclasses.replace(shapes, aabb=aabbs, fat_aabb=fat)
+
+    pen = jnp.where(
+        touching[:, None] & (jnp.arange(2)[None, :] < contacts.point_count[:, None]),
+        -contacts.separation, 0.0,
+    )
+    diag = Diagnostics(
+        contact_count=touching.sum().astype(jnp.int32),
+        pair_count=pairs.count.astype(jnp.int32),
+        pair_overflow=pairs.overflow,
+        color_overflow=c_overflow.astype(jnp.int32) + j_overflow.astype(jnp.int32),
+        max_penetration=pen.max(),
+        step_id=state.diag.step_id + 1,
+    )
+
+    return State(
+        bodies=new_bodies,
+        shapes=new_shapes,
+        contacts=contacts,
+        joints=joints,
+        gravity=state.gravity,
+        diag=diag,
+    )
+
+
+def step(state: State, dt, config: SimConfig) -> State:
+    """One simulation step. `config` must be static under jit."""
+    shapes = state.shapes
+    bodies = state.bodies
+
+    contacts, pairs, shape_body_type = _pre_solve(state, config)
 
     # coloring (contacts and joints separately; they solve in separate
     # passes) + the scatter-free body maps (see ops/coloring.py)
@@ -311,38 +358,48 @@ def step(state: State, dt, config: SimConfig) -> State:
         bodies, contacts, joints_in, colors, state.gravity, jnp.float32(dt), config
     )
 
-    # Stage 4: AABB + fat AABB hysteresis update (one packed pose gather)
-    new_pose = jnp.concatenate([new_bodies.origin, new_bodies.rot], axis=-1)
-    shape_pose = tgather(new_pose, shapes.body)
-    aabbs = compute_aabbs(
-        shapes.verts, shapes.normals, shapes.count, shapes.radius,
-        shape_pose[:, 0:2], shape_pose[:, 2:4],
-    )
-    aabbs = aabbs + jnp.array([-1.0, -1.0, 1.0, 1.0], jnp.float32) * SPECULATIVE_DISTANCE
-    fat = broadphase.update_fat_aabbs(shapes, aabbs, shape_body_type)
-    new_shapes = dataclasses.replace(shapes, aabb=aabbs, fat_aabb=fat)
-
-    pen = jnp.where(
-        touching[:, None] & (jnp.arange(2)[None, :] < contacts.point_count[:, None]),
-        -contacts.separation, 0.0,
-    )
-    diag = Diagnostics(
-        contact_count=touching.sum().astype(jnp.int32),
-        pair_count=pairs.count.astype(jnp.int32),
-        pair_overflow=pairs.overflow,
-        color_overflow=c_overflow.astype(jnp.int32) + j_overflow.astype(jnp.int32),
-        max_penetration=pen.max(),
-        step_id=state.diag.step_id + 1,
+    return _post_solve(
+        state, new_bodies, contacts, joints, pairs, shape_body_type,
+        touching, c_overflow, j_overflow, config,
     )
 
-    return State(
-        bodies=new_bodies,
-        shapes=new_shapes,
-        contacts=contacts,
-        joints=joints,
-        gravity=state.gravity,
-        diag=diag,
+
+def step_batch(batch: State, dt, config: SimConfig) -> State:
+    """One step of a [W, ...] world batch.
+
+    With config.lane_solve: broadphase/narrowphase/stage-4 run vmapped per
+    world as usual, but coloring + the contact solve run ONCE in the
+    lane-batched layout (solvers/lane_solve.py) — shared world-0 constraint
+    structure, worlds in the minor dim, so solve-phase row-gather cost stops
+    scaling with the batch size. Otherwise identical to vmap(step)."""
+    if not config.lane_solve:
+        return jax.vmap(lambda s: step(s, dt, config))(batch)
+
+    from .solvers.lane_solve import build_lane_structure, lane_solve
+
+    contacts, pairs, shape_body_type = jax.vmap(
+        lambda s: _pre_solve(s, config)
+    )(batch)
+
+    dyn0 = (batch.bodies.type[0] == 2) & batch.bodies.alive[0]
+    struct = build_lane_structure(contacts, dyn0, config)
+    # keep every world's persistent colors synced to the shared structure
+    contacts = dataclasses.replace(
+        contacts, color=jnp.broadcast_to(struct.ccolor[None], contacts.color.shape)
     )
+
+    new_bodies, contacts, mismatch = lane_solve(
+        batch.bodies, contacts, struct, batch.gravity[0], jnp.float32(dt), config
+    )
+
+    touching = contacts.alive & (contacts.point_count > 0)
+    c_overflow = struct.shared_overflow + mismatch
+    j_overflow = jnp.zeros_like(c_overflow)
+    return jax.vmap(
+        lambda s, nb, c, p, sbt, tch, co, jo: _post_solve(
+            s, nb, c, s.joints, p, sbt, tch, co, jo, config
+        )
+    )(batch, new_bodies, contacts, pairs, shape_body_type, touching, c_overflow, j_overflow)
 
 
 _STEP_CACHE: dict = {}

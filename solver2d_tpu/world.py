@@ -428,6 +428,20 @@ class World:
             "solve_joints=False is a joint-free-scene optimization; this "
             "scene has live joints (they would be silently ignored)"
         )
+        if config.lane_solve:
+            from .config import LANE_SOLVERS
+
+            assert config.solver in LANE_SOLVERS, (
+                f"lane_solve supports {sorted(s.name for s in LANE_SOLVERS)}; "
+                f"got {config.solver.name}"
+            )
+            assert config.incremental_coloring and not config.use_pallas_solver
+            assert not config.solve_joints, (
+                "lane_solve covers contacts only; freeze(solve_joints=False)"
+            )
+            assert config.contact_bucket_cap != 0, (
+                "lane_solve requires the bucketed layout (contact_bucket_cap=-1 auto)"
+            )
         if config.contact_bucket_cap < 0:
             # auto-size the bucketed solve's per-color capacity: 2x uniform
             # share of the contact table (rounded up to a multiple of 8)
