@@ -46,7 +46,11 @@ def _trivial_ladder(gib: float):
         b.block_until_ready()
     print(f"alloc: {gib} GiB resident in {n_buf} buffers", flush=True)
 
-    @jax.jit
+    from functools import partial as _partial
+
+    # donate the input list: without donation the chain double-buffers the
+    # whole allocation and >7.8 GiB OOMs on the copy, not on the residency
+    @_partial(jax.jit, donate_argnums=0)
     def chain(xs):
         def body(c, _):
             return [x + c[0][0] * 1e-9 for x in c], None

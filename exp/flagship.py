@@ -104,6 +104,12 @@ def jointgrid():
         narrowphase=NARROW,
         joint_bucket_cap=int(os.environ.get("S2_FS_JBUCKET", "0")),  # -1 auto
         contact_bucket_cap=int(os.environ.get("S2_FS_BUCKET", "0")),
+        # the grid's joint graph is 4-edge-colorable (Konig); default 8
+        joint_max_colors=int(os.environ.get("S2_FS_JCOLORS", "8")),
+        # the scene is contact-free (jointed-pair filtering drops every
+        # candidate): S2_FS_NOCONTACTS=1 statically skips the empty contact
+        # phases (config.solve_contacts)
+        solve_contacts=os.environ.get("S2_FS_NOCONTACTS", "0") != "1",
     )
     print(f"jointgrid: bodies={int(np.asarray(state.bodies.alive).sum())} "
           f"joints={int(np.asarray(state.joints.alive).sum())} jcolors={cfg.joint_max_colors}", flush=True)

@@ -221,6 +221,72 @@ def lanefull_fn(b):
     return out
 
 
+def lanebuild_fn(b):
+    """build_lane_structure alone (coloring + buckets + body map, 1x)."""
+    from solver2d_tpu.solvers.lane_solve import build_lane_structure
+
+    lane_cfg = cfg.replace(lane_solve=True, solve_joints=False)
+    dyn0 = (b.bodies.type[0] == 2) & b.bodies.alive[0]
+
+    def body(carry, _):
+        struct = build_lane_structure(b.contacts, dyn0, lane_cfg)
+        salt = (struct.slot.sum() * 0 + carry).astype(jnp.int32)
+        return salt + struct.shared_overflow, struct.winner.sum()
+
+    out, _ = jax.lax.scan(body, jnp.int32(0), None, length=ITERS)
+    return out
+
+
+def match_fn(b):
+    """broadphase.find_pairs + match_contacts (stage 1) in isolation."""
+    import dataclasses
+
+    def one(state):
+        shapes, bodies = state.shapes, state.bodies
+        jointed = broadphase.jointed_body_keys(state.joints, cfg)
+        pairs = broadphase.find_pairs_grid(shapes, bodies.type, jointed, cfg)
+        return broadphase.match_contacts(state.contacts, pairs, shapes, bodies.type, shapes.body)
+
+    def body(s, _):
+        c = jax.vmap(one)(s)
+        salt = (c.separation.sum(axis=(1, 2)) * 1e-12)[:, None, None]
+        s2 = dataclasses.replace(
+            s, bodies=dataclasses.replace(s.bodies, origin=s.bodies.origin + salt)
+        )
+        return s2, None
+
+    out, _ = jax.lax.scan(body, b, None, length=ITERS)
+    return out
+
+
+def aabbs_fn(b):
+    """Stage 4 AABB + fat-AABB update in isolation."""
+    import dataclasses
+
+    from solver2d_tpu.ops.geometry import compute_aabbs
+    from solver2d_tpu.ops.gather import tgather
+    from solver2d_tpu.config import SPECULATIVE_DISTANCE
+
+    def one(state):
+        shapes, bodies = state.shapes, state.bodies
+        sbt = jnp.where(shapes.alive, tgather(bodies.type, shapes.body), 0)
+        new_pose = jnp.concatenate([bodies.origin, bodies.rot], axis=-1)
+        sp = tgather(new_pose, shapes.body)
+        aabbs = compute_aabbs(shapes.verts, shapes.normals, shapes.count,
+                              shapes.radius, sp[:, 0:2], sp[:, 2:4])
+        aabbs = aabbs + jnp.array([-1.0, -1.0, 1.0, 1.0], jnp.float32) * SPECULATIVE_DISTANCE
+        return broadphase.update_fat_aabbs(shapes, aabbs, sbt)
+
+    def body(s, _):
+        fat = jax.vmap(one)(s)
+        salt = (fat.sum(axis=(1, 2)) * 1e-12)[:, None, None]
+        import dataclasses as dc
+        return dc.replace(s, bodies=dc.replace(s.bodies, origin=s.bodies.origin + salt)), None
+
+    out, _ = jax.lax.scan(body, b, None, length=ITERS)
+    return out
+
+
 STAGES = {
     "full": full_fn,
     "broad": broad_fn,
@@ -230,6 +296,9 @@ STAGES = {
     "solve": solve_fn,
     "lanesolve": lanesolve_fn,
     "lanefull": lanefull_fn,
+    "lanebuild": lanebuild_fn,
+    "match": match_fn,
+    "aabbs": aabbs_fn,
 }
 
 names = sys.argv[1:] or list(STAGES)

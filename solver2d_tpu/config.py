@@ -183,6 +183,17 @@ class SimConfig:
     # sweeps are the analog redundancy).
     joint_bucket_cap: int = 0
 
+    # Statically skip every CONTACT solve phase — the mirror of solve_joints
+    # for contact-free scenes (the reference pays zero for zero contacts;
+    # our static pipeline pays max_colors serialized phases per sweep, each
+    # with a [B]-row gather_apply — at Joint Grid's 10k bodies that is most
+    # of the step). Broadphase/narrowphase still run, so diag.contact_count
+    # reveals if contacts ever appear in a scene that opted in (they would
+    # be ignored — only use for scenes that stay contact-free, e.g. the
+    # reference's joint samples where jointed-pair filtering already drops
+    # every candidate pair, sample_joints.cpp:365-457).
+    solve_contacts: bool = True
+
     # Statically skip every joint solve phase. The reference's joint loops
     # cost zero for zero joints (they iterate a count), but our static-shape
     # pipeline pays joint_max_colors serialized phases per sweep — each with

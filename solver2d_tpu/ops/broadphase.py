@@ -276,6 +276,125 @@ def match_contacts(old: Contacts, pairs: PairResult, shapes: Shapes, bodies_type
     )
 
 
+def match_contacts_lane(old_batch: Contacts, pairs0: "PairResult", shapes0: Shapes,
+                        bodies_type0: jnp.ndarray, body_of0) -> Contacts:
+    """Lane-batched persistent matching for a lockstep world batch.
+
+    In a lockstep batch (parallel.replicate_state contract, SimConfig.
+    lane_solve) every world's pair-key set and slot assignment are identical
+    — only the carried VALUES (manifolds, impulses, GJK caches) differ once
+    worlds diverge in state. So the structure work runs ONCE on world 0
+    (searchsorted over the old keys, slot layout, material mixing) and the
+    per-world carry rides ONE wide-row gather: packed [C, W*28] rows with
+    the shared position index. The per-world path (match_contacts above)
+    pays the [C]-row gather W times.
+
+    Divergence safety is handled by the caller (step.step_batch): worlds
+    whose fat AABBs differ from world 0's get diag.pair_overflow raised —
+    the exact condition under which world-0 pairing could differ from
+    theirs. Reference analog: src/contact.c:296-359 persistence.
+    """
+    import dataclasses
+
+    W = old_batch.key.shape[0]
+    new_key = pairs0.key
+    old_key0 = old_batch.key[0]
+    Cn = old_key0.shape[0]
+    pos = jnp.searchsorted(old_key0, new_key, method="sort")
+    pos = jnp.minimum(pos, Cn - 1)
+
+    # raw small-int/bool gathers have shown chip-only corruption in unvmapped
+    # lane code (CLAUDE.md round-5 notes); transport via exact f32 instead.
+    # keys reach max_shapes^2 < 2^24 only because INT32_MAX pads would not —
+    # compare in key space after an exact clamp to the f32-safe sentinel.
+    KSENT = jnp.float32(2 ** 24)
+    okf = jnp.where(old_key0 == INT32_MAX, KSENT, old_key0.astype(jnp.float32))
+    nkf = jnp.where(new_key == INT32_MAX, KSENT, new_key.astype(jnp.float32))
+    found = (
+        (tgather(okf, pos) == nkf)
+        & (new_key != INT32_MAX)
+        & (tgather(old_batch.alive[0].astype(jnp.float32), pos) > 0.5)
+    )
+
+    # sticky quartet is zero-width for the lane solvers (soft family)
+    assert old_batch.friction_normal_a.shape[1] == 0, (
+        "match_contacts_lane: sticky anchors not supported (lane solvers are the soft family)"
+    )
+
+    f32 = jnp.float32
+    o = old_batch
+    lanes = [
+        o.normal,                      # 2
+        o.anchor_a.reshape(W, Cn, 4),  # 4
+        o.anchor_b.reshape(W, Cn, 4),  # 4
+        o.separation,                  # 2
+        o.normal_impulse,              # 2
+        o.tangent_impulse,             # 2
+        o.point_id.astype(f32),        # 2   (feature ids < 2^24: exact)
+        o.persisted.astype(f32),       # 2
+        o.point_count.astype(f32)[..., None],   # 1
+        o.cache_count.astype(f32)[..., None],   # 1
+        o.cache_index_a.astype(f32),   # 3
+        o.cache_index_b.astype(f32),   # 3
+    ]
+    packed = jnp.concatenate([x.astype(f32) for x in lanes], axis=-1)  # [W, Cn, 28]
+    L = packed.shape[-1]
+    wide = jnp.moveaxis(packed, 0, 1).reshape(Cn, W * L)
+    rows = tgather(wide, pos).reshape(Cn, W, L)
+    rows = jnp.where(found[:, None, None], rows, 0.0)
+    rows = jnp.moveaxis(rows, 1, 0)  # [W, Cn, L]
+
+    def fpart(a, b, shape=None):
+        v = rows[..., a:b]
+        return v if shape is None else v.reshape((W, Cn) + shape)
+
+    def ipart(a, b):
+        return rows[..., a:b].astype(jnp.int32)
+
+    # structure + material from world 0, broadcast
+    sa, sb = pairs0.shape_a, pairs0.shape_b
+    mat = jnp.stack([shapes0.friction, shapes0.restitution, _i2f(body_of0)], axis=-1)
+    mat_a = tgather(mat, sa)
+    mat_b = tgather(mat, sb)
+    friction = jnp.sqrt(mat_a[:, 0] * mat_b[:, 0])
+    restitution = jnp.maximum(mat_a[:, 1], mat_b[:, 1])
+    color0 = jnp.where(
+        found, tgather(o.color[0].astype(jnp.float32), pos).astype(jnp.int32), -1
+    )
+
+    def bc(x):
+        return jnp.broadcast_to(x[None], (W,) + x.shape)
+
+    return Contacts(
+        key=bc(new_key),
+        shape_a=bc(sa),
+        shape_b=bc(sb),
+        body_a=bc(_f2i(mat_a[:, 2])),
+        body_b=bc(_f2i(mat_b[:, 2])),
+        friction=bc(friction),
+        restitution=bc(restitution),
+        normal=fpart(0, 2),
+        anchor_a=fpart(2, 6, (2, 2)),
+        anchor_b=fpart(6, 10, (2, 2)),
+        separation=fpart(10, 12),
+        normal_impulse=fpart(12, 14),
+        tangent_impulse=fpart(14, 16),
+        point_id=ipart(16, 18),
+        persisted=rows[..., 18:20] > 0.5,
+        point_count=ipart(20, 21)[..., 0],
+        friction_normal_a=o.friction_normal_a,
+        friction_normal_b=o.friction_normal_b,
+        friction_anchor_a=o.friction_anchor_a,
+        friction_anchor_b=o.friction_anchor_b,
+        friction_persisted=o.friction_persisted,
+        cache_count=ipart(21, 22)[..., 0],
+        cache_index_a=ipart(22, 25),
+        cache_index_b=ipart(25, 28),
+        color=bc(color0),
+        alive=bc(pairs0.valid),
+    )
+
+
 def jointed_body_keys(joints, config: SimConfig) -> jnp.ndarray:
     """Sorted canonical body-pair keys for joints with collideConnected=False."""
     ba, bb = joints.body_a, joints.body_b

@@ -68,7 +68,17 @@ def _slot_local(cmap, k, cap):
     return jnp.where(slot_k >= 0, slot_k - k * cap, -1)
 
 
+def _warm_contacts(bs, cons, n, t, cfg, fixed_anchors=False):
+    """warm_start_packed, statically skipped for contact-free scenes
+    (config.solve_contacts — the mirror of the solve_joints skip)."""
+    if not cfg.solve_contacts:
+        return bs
+    return warm_start_packed(bs, cons, n, t, fixed_anchors=fixed_anchors)
+
+
 def _contact_gs(st, colors, cfg, cons, mode, inv_h, use_bias):
+    if not cfg.solve_contacts:
+        return st
     ccolor, cmap = colors[0], colors[1]
     bs, n, t, jimp = st
     if _bucket(colors) is not None:
@@ -153,6 +163,8 @@ def _joint_ngs(st, colors, cfg, jcons):
 
 
 def _contact_ngs(st, colors, cfg, cons):
+    if not cfg.solve_contacts:
+        return st
     cmap = colors[1]
     bs, n, t, jimp = st
     if _bucket(colors) is not None:
@@ -218,7 +230,7 @@ def solve_pgs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
-        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
+        st = (_warm_contacts(st[0], cons, n, t, cfg),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
@@ -241,7 +253,7 @@ def solve_pgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
     jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=0.0, soft=False, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
-        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
+        st = (_warm_contacts(st[0], cons, n, t, cfg),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
@@ -276,13 +288,15 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
     st = (bs, n, t, jimp)
     # warm start is applied unconditionally inside solver creation
     # (block.c:281-319); impulses are zero when warm_start is off
-    st = (warm_start_packed(st[0], cons, n, t, fixed_anchors=True),) + st[1:]
+    st = (_warm_contacts(st[0], cons, n, t, cfg, fixed_anchors=True),) + st[1:]
     st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
         st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True)
         bs, n, t, jimp = st
-        if _bucket(colors) is not None:
+        if not cfg.solve_contacts:
+            pass
+        elif _bucket(colors) is not None:
             cap = cfg.contact_bucket_cap
             for k in range(cfg.max_colors):
                 o = k * cap
@@ -307,7 +321,9 @@ def solve_pgs_ngs_block(bodies, contacts, joints, colors, gravity, dt, cfg: SimC
 
     def pos_it(_, st):
         bs, n, t, jimp = st
-        if _bucket(colors) is not None:
+        if not cfg.solve_contacts:
+            pass
+        elif _bucket(colors) is not None:
             cap = cfg.contact_bucket_cap
             for k in range(cfg.max_colors):
                 sl = slice(k * cap, (k + 1) * cap)
@@ -346,7 +362,7 @@ def solve_pgs_soft(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig
     jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
-        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
+        st = (_warm_contacts(st[0], cons, n, t, cfg),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it(_, st):
@@ -379,14 +395,15 @@ def solve_jacobi(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
     jcons, jimp = _prep_joints(bodies, joints, colors, h=h, hertz=joint_hertz, soft=True, warm_start=cfg.warm_start)
     st = (bs, n, t, jimp)
     if cfg.warm_start:
-        st = (warm_start_packed(st[0], cons, n, t),) + st[1:]
+        st = (_warm_contacts(st[0], cons, n, t, cfg),) + st[1:]
         st = _joint_warm(st, colors, cfg, jcons)
 
     def it_factory(use_bias):
         def it(_, st):
             st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, use_bias, solve_mouse=use_bias)
             bs, n, t, jimp = st
-            bs, n, t = ck.jacobi_contact_pass(bs, cons, n, t, ck.JACOBI_SOFT, inv_h, use_bias)
+            if cfg.solve_contacts:
+                bs, n, t = ck.jacobi_contact_pass(bs, cons, n, t, ck.JACOBI_SOFT, inv_h, use_bias)
             return (bs, n, t, jimp)
 
         return it
@@ -419,7 +436,7 @@ def _substep_soft(bodies, contacts, joints, colors, gravity, dt, cfg, mode, join
         if cfg.warm_start:
             st = _joint_warm(st, colors, cfg, jcons)
             bs, n, t, jimp = st
-            bs = warm_start_packed(bs, cons, n, t, fixed_anchors=fixed_warm)
+            bs = _warm_contacts(bs, cons, n, t, cfg, fixed_anchors=fixed_warm)
             st = (bs, n, t, jimp)
         st = _joint_gs(st, colors, cfg, jcons, "soft", h, inv_h, True)
         st = _contact_gs(st, colors, cfg, cons, mode, inv_h, True)
@@ -504,7 +521,7 @@ def solve_tgs_ngs(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig)
         if cfg.warm_start:
             st = _joint_warm(st, colors, cfg, jcons)
             bs, n, t, jimp = st
-            bs = warm_start_packed(bs, cons, n, t)
+            bs = _warm_contacts(bs, cons, n, t, cfg)
             st = (bs, n, t, jimp)
         st = _joint_gs(st, colors, cfg, jcons, "rigid", h, inv_h, True)
         st = _contact_gs(st, colors, cfg, cons, ck.TGS_RIGID, inv_h, True)
@@ -531,6 +548,8 @@ def solve_tgs_sticky(bodies, contacts, joints, colors, gravity, dt, cfg: SimConf
     fric_persisted = jnp.ones_like(cons.active)
 
     def sticky_gs(st5, use_bias):
+        if not cfg.solve_contacts:
+            return st5
         bs, n, t, jimp, fp = st5
         bs, n, t, fp = colored_pass(
             cfg.max_colors,
@@ -628,7 +647,9 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         bs, n, t, jimp = st4
 
         # contact position projection
-        if _bucket(colors) is not None:
+        if not cfg.solve_contacts:
+            pass
+        elif _bucket(colors) is not None:
             cap = cfg.contact_bucket_cap
             for k in range(cfg.max_colors):
                 o = k * cap
@@ -652,7 +673,9 @@ def solve_xpbd(bodies, contacts, joints, colors, gravity, dt, cfg: SimConfig):
         bs = pack_body_state(v, w, dp, rot)
 
         # relax contact velocities
-        if _bucket(colors) is not None:
+        if not cfg.solve_contacts:
+            pass
+        elif _bucket(colors) is not None:
             cap = cfg.contact_bucket_cap
             for k in range(cfg.max_colors):
                 o = k * cap

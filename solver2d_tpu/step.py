@@ -248,6 +248,7 @@ def step(state: State, dt, config: SimConfig) -> State:
         and config.solver in BUCKETABLE_SOLVERS
         and config.incremental_coloring
         and not config.use_pallas_solver
+        and config.solve_contacts
     )
     jbucketed = (
         config.joint_bucket_cap > 0
@@ -255,7 +256,30 @@ def step(state: State, dt, config: SimConfig) -> State:
         and not config.use_pallas_solver
         and config.solve_joints
     )
-    if config.incremental_coloring:
+    if not config.solve_contacts:
+        # contact phases statically skipped (config.solve_contacts): no
+        # contact coloring, no body map — inert placeholders keep the solver
+        # signatures uniform (mirror of the solve_joints skip below)
+        ccolor = contacts.color
+        c_overflow = jnp.int32(0)
+        c_active = jnp.zeros_like(touching)
+        if config.solve_joints:
+            if config.incremental_coloring:
+                jcolor, j_overflow = coloring.assign_colors(
+                    joints_in.color, joints_in.body_a, joints_in.body_b,
+                    joints_in.alive, dyn_mask, config.max_bodies,
+                    config.joint_max_colors, rounds=config.color_rounds,
+                    bucket_cap=config.joint_bucket_cap if jbucketed else 0,
+                )
+                joints_in = dataclasses.replace(joints_in, color=jcolor)
+                j_active = joints_in.alive & (jcolor >= 0)
+            else:
+                jcolor, j_overflow = coloring.color_graph(
+                    joints_in.body_a, joints_in.body_b, joints_in.alive, dyn_mask,
+                    config.max_bodies, config.joint_max_colors,
+                )
+                j_active = joints_in.alive
+    elif config.incremental_coloring:
         # persistent colors ride the contact table / joint state; only new
         # constraints pay coloring rounds (ops/coloring.py:assign_colors)
         ccolor, c_overflow = coloring.assign_colors(
@@ -308,6 +332,13 @@ def step(state: State, dt, config: SimConfig) -> State:
             color_b, active_b, dyn_mask, config.max_bodies, config.max_colors,
         )
         c_overflow = c_overflow + bucket_drop + (active_b & ~cmap.winner).sum()
+    elif not config.solve_contacts:
+        from .solvers.common import BodyMap
+
+        cmap = BodyMap(
+            slot=jnp.full((config.max_bodies, config.max_colors), -1, jnp.int32),
+            winner=jnp.zeros((config.max_contacts,), bool),
+        )
     else:
         cmap = make_body_map(
             contacts.body_a, contacts.body_b, ccolor, c_active, dyn_mask,
@@ -377,9 +408,28 @@ def step_batch(batch: State, dt, config: SimConfig) -> State:
 
     from .solvers.lane_solve import build_lane_structure, lane_solve
 
-    contacts, pairs, shape_body_type = jax.vmap(
-        lambda s: _pre_solve(s, config)
-    )(batch)
+    # Stages 1-3a in lane form: pairing + persistent matching run ONCE on
+    # world 0 (a lockstep batch's pair sets and slot layouts are identical;
+    # only carried values differ), the per-world carry rides one wide-row
+    # gather (broadphase.match_contacts_lane). Worlds whose fat AABBs
+    # differ from world 0's — the exact condition under which their pairing
+    # could differ — get diag.pair_overflow raised.
+    W = batch.bodies.type.shape[0]
+    s0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+    sbt0 = jnp.where(s0.shapes.alive, tgather(s0.bodies.type, s0.shapes.body), 0)
+    jointed0 = broadphase.jointed_body_keys(s0.joints, config)
+    if config.broadphase == "grid":
+        pairs0 = broadphase.find_pairs_grid(s0.shapes, s0.bodies.type, jointed0, config)
+    else:
+        pairs0 = broadphase.find_pairs(s0.shapes, s0.bodies.type, jointed0, config)
+    diverged = (batch.shapes.fat_aabb != batch.shapes.fat_aabb[0:1]).any(axis=(1, 2))
+
+    contacts = broadphase.match_contacts_lane(
+        batch.contacts, pairs0, s0.shapes, s0.bodies.type, s0.shapes.body
+    )
+    contacts = jax.vmap(
+        lambda s, c: update_manifolds(s, c, gjk_iters=config.gjk_iters, impl=config.narrowphase)
+    )(batch, contacts)
 
     dyn0 = (batch.bodies.type[0] == 2) & batch.bodies.alive[0]
     struct = build_lane_structure(contacts, dyn0, config)
@@ -395,6 +445,11 @@ def step_batch(batch: State, dt, config: SimConfig) -> State:
     touching = contacts.alive & (contacts.point_count > 0)
     c_overflow = struct.shared_overflow + mismatch
     j_overflow = jnp.zeros_like(c_overflow)
+    pairs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (W,) + x.shape), pairs0
+    )
+    pairs = pairs._replace(overflow=pairs.overflow | diverged)
+    shape_body_type = jnp.broadcast_to(sbt0[None], (W,) + sbt0.shape)
     return jax.vmap(
         lambda s, nb, c, p, sbt, tch, co, jo: _post_solve(
             s, nb, c, s.joints, p, sbt, tch, co, jo, config

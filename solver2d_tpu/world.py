@@ -429,6 +429,11 @@ class World:
             "scene has live joints (they would be silently ignored)"
         )
         if config.lane_solve:
+            assert config.solve_contacts, "lane_solve IS the contact solve"
+            # lane matching transports pair keys as exact f32 (chip-safe)
+            assert config.max_shapes * config.max_shapes < (1 << 24), (
+                "lane_solve: pair keys must fit f32 exactly (max_shapes < 4096)"
+            )
             from .config import LANE_SOLVERS
 
             assert config.solver in LANE_SOLVERS, (

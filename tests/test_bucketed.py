@@ -139,6 +139,35 @@ def test_solve_joints_false_rejects_jointed_scene():
 
 
 @pytest.mark.parametrize(
+    "solver", [SolverType.TGS_SOFT, SolverType.PGS_NGS_BLOCK], ids=lambda s: s.name
+)
+def test_solve_contacts_false_identical_on_contact_free_scene(solver):
+    """config.solve_contacts=False (the mirror skip, for the reference's
+    contact-free joint scenes like Joint Grid) statically removes the empty
+    contact table's phases; on a contact-free scene every skipped phase was
+    an exact no-op, so trajectories must be BIT-identical."""
+    state_t, cfg_t = _chain_world(solver).freeze(max_colors=4, joint_max_colors=4)
+    state_f, cfg_f = _chain_world(solver).freeze(
+        max_colors=4, joint_max_colors=4, solve_contacts=False
+    )
+    assert cfg_t.solve_contacts and not cfg_f.solve_contacts
+    step_t, step_f = make_step(cfg_t), make_step(cfg_f)
+    for _ in range(60):
+        state_t = step_t(state_t, 1 / 60)
+        state_f = step_f(state_f, 1 / 60)
+    assert int(np.asarray(state_t.diag.contact_count)) == 0  # scene stayed contact-free
+    np.testing.assert_array_equal(
+        np.asarray(state_t.bodies.position), np.asarray(state_f.bodies.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_t.bodies.rot), np.asarray(state_f.bodies.rot)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_t.joints.impulse), np.asarray(state_f.joints.impulse)
+    )
+
+
+@pytest.mark.parametrize(
     "solver", [SolverType.PGS_NGS, SolverType.XPBD], ids=lambda s: s.name
 )
 def test_joint_bucketed_matches_dense(solver):

@@ -74,20 +74,19 @@ def test_lane_matches_dense_on_lockstep_batch(solver):
     assert np.isfinite(pos).all()
 
 
-def test_lane_diverged_world_masks_and_counts():
-    """A contact that exists only in a diverged world (not in world 0's
-    shared structure) is masked out of the solve — never mis-solved — and
-    surfaces in that world's color_overflow diagnostic."""
+def test_lane_diverged_world_is_flagged():
+    """Lane mode shares world-0's pairing/constraint structure. A world
+    whose fat AABBs no longer equal world 0's — the exact condition under
+    which its pairing could differ — gets diag.pair_overflow raised, so
+    divergence from the lockstep contract is never silent."""
     import dataclasses
 
     state, cfg, ids = _freeze(SolverType.TGS_SOFT)
     # settle so the contact tables are populated
     batch = _run(state, cfg, 3, steps=10)
+    assert not np.asarray(batch.diag.pair_overflow).any()
 
-    # teleport world 2's top box onto open ground: its old stack contacts
-    # vanish (handled by per-world active masks, zero overflow) and a NEW
-    # (box, ground) contact appears in world 2 only — absent from world 0's
-    # structure, so it cannot be solved under the shared coloring
+    # teleport world 2's top box: its AABBs now differ from world 0's
     top = ids[-1]
     b = batch.bodies
     pos = b.position.at[2, top].set(jnp.array([6.0, 0.3]))
@@ -98,11 +97,11 @@ def test_lane_diverged_world_masks_and_counts():
     )
 
     stepf = jax.jit(partial(step_batch, config=cfg))
-    # step 1 refreshes AABBs at the new pose; the following steps find the
-    # pair, build the manifold, and the mismatch becomes visible
-    for _ in range(4):
-        batch = stepf(batch, 1.0 / 60.0)
-    ovf = np.asarray(batch.diag.color_overflow)
-    assert ovf[2] >= 1, ovf     # the diverged-world contact is visible
-    assert ovf[0] == 0 and ovf[1] == 0
+    # step 1 refreshes world 2's AABBs at the new pose; step 2 sees them
+    # differ from world 0's and raises the flag
+    batch = stepf(batch, 1.0 / 60.0)
+    batch = stepf(batch, 1.0 / 60.0)
+    ovf = np.asarray(batch.diag.pair_overflow)
+    assert bool(ovf[2]), ovf
+    assert not ovf[0] and not ovf[1]
     assert np.isfinite(np.asarray(batch.bodies.position)).all()
