@@ -37,7 +37,7 @@ def main():
     # lanes = lane-major narrowphase, 1.9x faster than the vmapped per-pair
     # kernel on chip with bit-identical manifolds (tests/test_narrow_lanes.py)
     narrow = os.environ.get("S2_BENCH_NARROW", "lanes")  # xla | lanes | pallas
-    bucket = int(os.environ.get("S2_BENCH_BUCKET", "-1"))  # -1 = auto cap, 0 = dense
+    bucket = int(os.environ.get("S2_BENCH_BUCKET", "896"))  # -1 = auto cap, 0 = dense
     chunk = int(os.environ.get("S2_BENCH_CHUNK", "0"))     # worlds per lax.map chunk
     # worlds per HOST-driven chunk: separate chunk-sized device batches
     # stepped sequentially by ONE jitted chunk-sized run block. This is how
@@ -59,9 +59,14 @@ def main():
     # max_colors: persistent first-fit coloring keeps the pyramid within ~9
     # colors (measured overflow 0 at 10); 12 adds safety margin and each
     # trailing color pass costs two row-gathers per solve iteration
+    # max_colors 10: the base-62 pyramid colors without overflow at 10
+    # (measured ovf 0, campaign E/F) and each color is a serialized phase.
+    # bucket cap 896 = 1.13x the 10-color uniform share: the auto 2x cap
+    # made ~half the bucket rows pads, and the flattened [cap*W] solve math
+    # pays for pads (campaign F: cap 1592 -> 896 nearly halved step time).
     state, cfg = w.freeze(
         max_contacts=((4 * len(ids) + 127) // 128) * 128,
-        max_colors=int(os.environ.get("S2_BENCH_COLORS", "12")),
+        max_colors=int(os.environ.get("S2_BENCH_COLORS", "10")),
         gjk_iters=10,
         narrowphase=narrow,
         contact_bucket_cap=bucket,

@@ -45,9 +45,30 @@ def sharded_step(config: SimConfig, mesh: Mesh, axis: str = "worlds"):
     silently computed on one device. dt is replicated.
 
     With worlds fully data-parallel the compiled program contains zero
-    inter-chip collectives — each chip steps its shard independently."""
+    inter-chip collectives — each chip steps its shard independently.
+
+    With config.lane_solve the per-shard computation is the lane-batched
+    step (step.step_batch) via shard_map: each chip runs the shared-structure
+    solve over its LOCAL worlds (structure from its local world 0 — exact
+    for lockstep batches, where every world 0 is identical), still with zero
+    hot-loop collectives."""
     sharding = NamedSharding(mesh, P(axis))      # prefix: shards dim 0 of every leaf
     replicated = NamedSharding(mesh, P())
+    if config.lane_solve:
+        from jax.experimental.shard_map import shard_map
+
+        from ..step import step_batch
+
+        f = shard_map(
+            lambda b, dt: step_batch(b, dt, config),
+            mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+        )
+        return jax.jit(
+            f,
+            in_shardings=(sharding, replicated),
+            out_shardings=sharding,
+            donate_argnums=(0,),
+        )
     vstep = jax.vmap(partial(step, config=config), in_axes=(0, None))
     return jax.jit(
         vstep,

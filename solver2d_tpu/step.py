@@ -103,6 +103,14 @@ def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20, impl
             cache_ib=cout[4:7].T,
         )
 
+    return _apply_manifolds(contacts, out)
+
+
+def _apply_manifolds(contacts: Contacts, out) -> Contacts:
+    """Elementwise back half of the narrowphase: warm-start id matching +
+    manifold table update (reference: src/contact.c:328-358). Shared by the
+    per-world path above and the lane-batched path (vmapped there)."""
+    C = contacts.point_id.shape[0]
     alive = contacts.alive
     new_count = jnp.where(alive, out.point_count, 0)
 
@@ -162,6 +170,65 @@ def update_manifolds(state: State, contacts: Contacts, gjk_iters: int = 20, impl
         cache_index_a=jnp.where(alive[:, None], out.cache_ia, contacts.cache_index_a),
         cache_index_b=jnp.where(alive[:, None], out.cache_ib, contacts.cache_index_b),
     )
+
+
+def update_manifolds_lane(batch: State, contacts: Contacts, config: SimConfig) -> Contacts:
+    """Lane-batched narrowphase front-end for a lockstep batch: shape
+    geometry is static and identical across worlds (gathered ONCE from world
+    0), poses differ per world but the pair indices are shared (from
+    match_contacts_lane), so the pose rows ride one wide-row gather instead
+    of W [2C]-row gathers. The collide math itself stays vmapped per world
+    (ops/narrow_lanes.py lane-major kernel), as does the id-matching core."""
+    from functools import partial as _partial
+
+    from .ops.narrow_pallas import collide_lanes_xla
+
+    assert config.narrowphase == "lanes", "lane path uses the lane-major narrowphase"
+    W = batch.bodies.type.shape[0]
+    s0_shapes = jax.tree_util.tree_map(lambda x: x[0], batch.shapes)
+    sa, sb = contacts.shape_a[0], contacts.shape_b[0]
+    ba, bb = contacts.body_a[0], contacts.body_b[0]
+    C = sa.shape[0]
+
+    geom = jnp.concatenate(
+        [
+            s0_shapes.verts[:, :, 0], s0_shapes.verts[:, :, 1],
+            s0_shapes.normals[:, :, 0], s0_shapes.normals[:, :, 1],
+            s0_shapes.count[:, None].astype(jnp.float32),
+            s0_shapes.radius[:, None],
+        ],
+        axis=-1,
+    )
+    gr = tgather(geom, jnp.concatenate([sa, sb]))
+    ga, gb = gr[:C], gr[C:]
+
+    pose = jnp.concatenate([batch.bodies.origin, batch.bodies.rot], axis=-1)  # [W, B, 4]
+    pose_wide = jnp.moveaxis(pose, 0, 1).reshape(-1, W * 4)
+    prows = tgather(pose_wide, jnp.concatenate([ba, bb])).reshape(2 * C, W, 4)
+    pa = jnp.moveaxis(prows[:C], 1, 0)  # [W, C, 4]
+    pb = jnp.moveaxis(prows[C:], 1, 0)
+
+    cache = jnp.concatenate(
+        [contacts.cache_count[..., None], contacts.cache_index_a, contacts.cache_index_b],
+        axis=-1,
+    )  # [W, C, 7]
+
+    def one(pa_w, pb_w, cache_w):
+        fout, iout, cout = collide_lanes_xla(ga.T, gb.T, pa_w.T, pb_w.T, cache_w.T, config.gjk_iters)
+        return manifold.ManifoldOut(
+            normal=fout[0:2].T,
+            anchor_a=jnp.stack([fout[2:4].T, fout[4:6].T], axis=1),
+            anchor_b=jnp.stack([fout[6:8].T, fout[8:10].T], axis=1),
+            separation=fout[10:12].T,
+            point_id=iout[0:2].T,
+            point_count=iout[2],
+            cache_count=cout[0],
+            cache_ia=cout[1:4].T,
+            cache_ib=cout[4:7].T,
+        )
+
+    out = jax.vmap(one)(pa, pb, cache)
+    return jax.vmap(_apply_manifolds)(contacts, out)
 
 
 def _pre_solve(state: State, config: SimConfig):
@@ -427,9 +494,12 @@ def step_batch(batch: State, dt, config: SimConfig) -> State:
     contacts = broadphase.match_contacts_lane(
         batch.contacts, pairs0, s0.shapes, s0.bodies.type, s0.shapes.body
     )
-    contacts = jax.vmap(
-        lambda s, c: update_manifolds(s, c, gjk_iters=config.gjk_iters, impl=config.narrowphase)
-    )(batch, contacts)
+    if config.narrowphase == "lanes":
+        contacts = update_manifolds_lane(batch, contacts, config)
+    else:
+        contacts = jax.vmap(
+            lambda s, c: update_manifolds(s, c, gjk_iters=config.gjk_iters, impl=config.narrowphase)
+        )(batch, contacts)
 
     dyn0 = (batch.bodies.type[0] == 2) & batch.bodies.alive[0]
     struct = build_lane_structure(contacts, dyn0, config)
