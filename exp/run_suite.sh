@@ -26,7 +26,7 @@ fi
 # not starve any file behind it
 FILES="test_math_geometry.py test_gather.py test_handles.py test_coloring.py \
 test_broadphase.py test_gjk.py test_manifold.py \
-test_native.py test_queries.py test_bucketed.py test_aux.py test_dryrun.py \
+test_native.py test_queries.py test_bucketed.py test_lane_solve.py test_aux.py test_dryrun.py \
 test_color_overflow.py test_scenes.py test_pallas_solver.py test_behavior.py \
 test_solvers.py test_large_scenes.py test_narrow_lanes.py"
 

@@ -246,10 +246,16 @@ def _pre_solve(state: State, config: SimConfig):
         pairs = broadphase.find_pairs(shapes, bodies.type, jointed, config)
     contacts = broadphase.match_contacts(state.contacts, pairs, shapes, bodies.type, shapes.body)
 
-    # Stage 3a: narrowphase
-    contacts = update_manifolds(
-        state, contacts, gjk_iters=config.gjk_iters, impl=config.narrowphase
-    )
+    # Stage 3a: narrowphase. Statically skipped with config.solve_contacts
+    # off: on a contact-free scene the table is all-dead and update_manifolds
+    # is an exact no-op on it — but the masked GJK/clip math still costs (the
+    # Joint Grid scene paid ~250 ms/step of narrowphase over dead slots).
+    # Broadphase + matching above still run, so diag.pair_count reveals pairs
+    # appearing in a scene that wrongly opted in.
+    if config.solve_contacts:
+        contacts = update_manifolds(
+            state, contacts, gjk_iters=config.gjk_iters, impl=config.narrowphase
+        )
     return contacts, pairs, shape_body_type
 
 

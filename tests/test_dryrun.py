@@ -14,7 +14,7 @@ import pytest
 
 sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
 
-from __graft_entry__ import dryrun_state_cfg  # noqa: E402
+from __graft_entry__ import dryrun_state_cfg, lane_dryrun_state_cfg  # noqa: E402
 from solver2d_tpu.parallel import (  # noqa: E402
     make_mesh,
     replicate_state,
@@ -44,6 +44,24 @@ def test_dryrun_program_runs_and_shards():
         assert s is not None and not s.is_fully_replicated
 
     # identical worlds stay identical under sharded stepping
+    pos = np.asarray(out.bodies.position)
+    assert np.isfinite(pos).all()
+    np.testing.assert_array_equal(pos[0], pos[-1])
+
+
+def test_lane_dryrun_program_runs_and_shards():
+    """The lane-batched leg of dryrun_multichip: step_batch under shard_map
+    over the worlds mesh (same program the driver compiles, pre-warmed)."""
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    state, cfg = lane_dryrun_state_cfg()
+    batch = shard_state(replicate_state(state, 2 * n), mesh)
+    stepf = sharded_step(cfg, mesh)
+    out = stepf(batch, 1.0 / 60.0)
+    jax.block_until_ready(out)
+    for leaf in jax.tree.leaves(out):
+        s = getattr(leaf, "sharding", None)
+        assert s is not None and not s.is_fully_replicated
     pos = np.asarray(out.bodies.position)
     assert np.isfinite(pos).all()
     np.testing.assert_array_equal(pos[0], pos[-1])
