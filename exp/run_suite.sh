@@ -44,6 +44,9 @@ for f in $FILES; do
   rc=$?
   dt=$(( $(date +%s) - t0 ))
   echo "tests/$f: $(tail -1 /tmp/suite_one.log)  [${dt}s rc=$rc git=${HEAD_HASH}]" >> "$OUT"
+  # preserve the full log of any failing file (round 5: a segfaulting file
+  # left only its last line behind, which was a faulthandler fragment)
+  [ $rc -ne 0 ] && cp /tmp/suite_one.log "/tmp/suitefail_${f%.py}.log"
   [ $rc -ne 0 ] && fail=1
 done
 echo "# done $(date -u +%Y-%m-%dT%H:%M:%SZ) overall_fail=$fail" >> "$OUT"
