@@ -56,17 +56,18 @@ def main():
     w, ids = pyramid_world(solver, base_count=base)
     n_bodies = len(ids) + 1
     # pyramid contact count ~= 3 per box; modest headroom
-    # max_colors: persistent first-fit coloring keeps the pyramid within ~9
-    # colors (measured overflow 0 at 10); 12 adds safety margin and each
-    # trailing color pass costs two row-gathers per solve iteration
-    # max_colors 10: the base-62 pyramid colors without overflow at 10
-    # (measured ovf 0, campaign E/F) and each color is a serialized phase.
-    # bucket cap 896 = 1.13x the 10-color uniform share: the auto 2x cap
-    # made ~half the bucket rows pads, and the flattened [cap*W] solve math
-    # pays for pads (campaign F: cap 1592 -> 896 nearly halved step time).
+    # max_colors 9: every color is a serialized solve phase; the capacity-
+    # aware coloring fits the base-62 pyramid in 9 colors with ovf 0 at cap
+    # 896 (campaign I: ns64 1056.7 wsps vs 969.7 at colors 10; official 512
+    # bench 1097.3 vs 1043.9). colors=8 needs cap 992 and still overflows
+    # (ovf 62, pen 0.022 — campaign J): 9 is the floor for this scene.
+    # bucket cap 896 = 1.016x the 9-color uniform share (7936/9 = 882): the
+    # auto 2x cap made ~half the bucket rows pads, and the flattened [cap*W]
+    # solve math pays for pads (campaign F: cap 1592 -> 896 nearly halved
+    # step time; campaign I: 832/800 at colors 10 overflow — don't tighten).
     state, cfg = w.freeze(
         max_contacts=((4 * len(ids) + 127) // 128) * 128,
-        max_colors=int(os.environ.get("S2_BENCH_COLORS", "10")),
+        max_colors=int(os.environ.get("S2_BENCH_COLORS", "9")),
         gjk_iters=10,
         narrowphase=narrow,
         contact_bucket_cap=bucket,
