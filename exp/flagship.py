@@ -90,6 +90,8 @@ def pyramid100():
     state, cfg = w.freeze(
         max_contacts=4 * 5056, gjk_iters=10, narrowphase=NARROW,
         max_colors=int(os.environ.get("S2_FS_COLORS", "12")),
+        contact_bucket_cap=int(os.environ.get("S2_FS_BUCKET", "0")),  # -1 auto
+        solve_joints=os.environ.get("S2_FS_NOJOINTS", "0") != "1",
     )
     print(f"pyramid100: bodies={len(ids)+1} S={cfg.max_shapes} C={cfg.max_contacts} "
           f"colors={cfg.max_colors} cell={cfg.grid_cell:.2f} big={cfg.max_big_shapes}", flush=True)
